@@ -1,0 +1,105 @@
+"""Residual CNN feature encoder (capability parity: reference ``nets/pips.py:131-281``).
+
+TPU-first: NHWC layout so convolutions tile directly onto the MXU; instance
+norm is a small fused reduction over (H, W); the multi-scale fusion resize is
+two matmuls (see ``pips_tpu.ops.resize``).
+
+Architecture (norm_fn='instance' is what Pips uses):
+  conv 7x7/2 -> IN -> relu
+  stage1: 2x ResidualBlock(64,  stride 1)   @ 1/2
+  stage2: 2x ResidualBlock(96,  stride 2)   @ 1/4
+  stage3: 2x ResidualBlock(128, stride 2)   @ 1/8
+  stage4: 2x ResidualBlock(128, stride 2)   @ 1/16
+  resize all to 1/stride, concat (416ch) -> conv3x3(2*out) -> IN -> relu -> conv1x1(out)
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from pips_tpu.ops.resize import resize_bilinear_align_corners
+
+# matches torch kaiming_normal_(mode='fan_out', nonlinearity='relu')
+kaiming_out = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
+def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """Non-affine instance norm over spatial dims. x: (B, H, W, C).
+
+    Parity with torch ``nn.InstanceNorm2d`` defaults (affine=False,
+    track_running_stats=False, eps=1e-5, biased variance).
+    """
+    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=(1, 2), keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps)
+
+
+class Conv(nn.Module):
+    """Conv2d with torch-style explicit zero padding, NHWC."""
+    features: int
+    kernel: int
+    stride: int = 1
+    pad: int = 0
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=((self.pad, self.pad), (self.pad, self.pad)),
+            kernel_init=kaiming_out,
+        )(x)
+
+
+class ResidualBlock(nn.Module):
+    """Two 3x3 convs with norm+relu and an optional strided 1x1 shortcut.
+
+    Parity: reference ``nets/pips.py:131-181`` with norm_fn='instance'.
+    """
+    planes: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        y = Conv(self.planes, 3, self.stride, 1, name="conv1")(x)
+        y = nn.relu(instance_norm(y))
+        y = Conv(self.planes, 3, 1, 1, name="conv2")(y)
+        y = nn.relu(instance_norm(y))
+        if self.stride != 1:
+            x = Conv(self.planes, 1, self.stride, 0, name="downsample")(x)
+            x = instance_norm(x)
+        return nn.relu(x + y)
+
+
+class BasicEncoder(nn.Module):
+    """Stride-``stride`` feature encoder producing ``output_dim`` channels."""
+    output_dim: int = 128
+    stride: int = 8
+    stage_dims: Sequence[int] = (64, 96, 128, 128)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        """x: (B, H, W, 3) -> (B, H//stride, W//stride, output_dim)."""
+        H, W = x.shape[1], x.shape[2]
+        out_hw = (H // self.stride, W // self.stride)
+
+        x = Conv(self.stage_dims[0], 7, 2, 3, name="conv1")(x)
+        x = nn.relu(instance_norm(x))
+
+        feats = []
+        for i, dim in enumerate(self.stage_dims):
+            stride = 1 if i == 0 else 2
+            x = ResidualBlock(dim, stride, name=f"layer{i + 1}_0")(x)
+            x = ResidualBlock(dim, 1, name=f"layer{i + 1}_1")(x)
+            feats.append(resize_bilinear_align_corners(x, out_hw))
+
+        x = jnp.concatenate(feats, axis=-1)
+        x = Conv(self.output_dim * 2, 3, 1, 1, name="conv2")(x)
+        x = nn.relu(instance_norm(x))
+        x = Conv(self.output_dim, 1, 0, 0, name="conv3")(x)
+        return x

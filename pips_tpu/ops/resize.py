@@ -1,0 +1,68 @@
+"""Align-corners bilinear resize and 2x2 average pooling.
+
+torch's ``F.interpolate(mode='bilinear', align_corners=True)`` has no direct
+jax.image equivalent (jax uses half-pixel centers). The reference depends on
+align-corners semantics in two hot spots: the encoder's multi-scale feature
+fusion (``nets/pips.py:269-272``) and the train-time score-map upsampling
+(``nets/pips.py:509``).
+
+TPU-first design: for static shapes, a separable align-corners resize is two
+small dense matmuls (out = A_y @ img @ A_x^T), which XLA places on the MXU —
+far better than a gather-based formulation. The interpolation matrices are
+built with numpy at trace time and baked into the program as constants.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=128)
+def _interp_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """(n_out, n_in) align-corners linear interpolation matrix."""
+    A = np.zeros((n_out, n_in), dtype=np.float32)
+    if n_out == 1:
+        A[0, 0] = 1.0
+        return A
+    if n_in == 1:
+        A[:, 0] = 1.0
+        return A
+    pos = np.arange(n_out, dtype=np.float64) * (n_in - 1) / (n_out - 1)
+    j0 = np.floor(pos).astype(np.int64)
+    j0 = np.clip(j0, 0, n_in - 2)
+    w = pos - j0
+    rows = np.arange(n_out)
+    A[rows, j0] = (1.0 - w).astype(np.float32)
+    A[rows, j0 + 1] = w.astype(np.float32)
+    return A
+
+
+def resize_bilinear_align_corners(img: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
+    """img: (..., H, W, C) -> (..., H_out, W_out, C), align-corners bilinear."""
+    H_out, W_out = out_hw
+    H, W = img.shape[-3], img.shape[-2]
+    if (H, W) == (H_out, W_out):
+        return img
+    Ay = jnp.asarray(_interp_matrix(H, H_out))  # (H_out, H)
+    Ax = jnp.asarray(_interp_matrix(W, W_out))  # (W_out, W)
+    out = jnp.einsum("oh,...hwc->...owc", Ay, img, precision=jax.lax.Precision.HIGHEST)
+    out = jnp.einsum("pw,...hwc->...hpc", Ax, out, precision=jax.lax.Precision.HIGHEST)
+    return out
+
+
+def avg_pool2x2(img: jnp.ndarray) -> jnp.ndarray:
+    """2x2 stride-2 average pool, VALID padding (floor output size).
+
+    Parity with torch ``F.avg_pool2d(x, 2, stride=2)`` used for the corr
+    pyramid (reference ``nets/pips.py:349``). img: (..., H, W, C).
+    """
+    ndim = img.ndim
+    window = (1,) * (ndim - 3) + (2, 2, 1)
+    strides = window
+    init = jnp.zeros((), img.dtype)
+    summed = jax.lax.reduce_window(img, init, jax.lax.add, window, strides, "VALID")
+    return summed * jnp.asarray(0.25, img.dtype)
