@@ -1,0 +1,152 @@
+"""Visibility-aware chaining over long videos — batched TPU redesign.
+
+The reference tracks each point SEQUENTIALLY through its own sliding-window
+loop (``chain_demo.py:40-83``; duplicated in ``test_on_badja.py:64-113``):
+O(N * windows) model calls. Here the loop is restructured for TPUs:
+
+  1. encode ALL T frames once (chunked, jitted) — windows become slices of
+     the feature stack, since the encoder is per-frame (padding a window by
+     repeating the last frame == repeating its feature);
+  2. host-side scheduler walks window starts t in increasing order; every
+     point whose window starts at t is processed in one fixed-shape batched
+     device call (padded to ``capacity``), sharing the window's features;
+  3. the data-dependent skip rule (latest frame in [2..7] whose sigmoid(vis)
+     clears a decaying threshold) runs on host in closed form per point.
+
+Device calls drop from O(N * windows) to O(distinct window starts) ≈ T, and
+each call is a fully-batched MXU workload.
+
+Semantics preserved exactly per point: same window queries (current estimate
+at the window start), same ``feat_init`` carrying (original appearance from
+the first window), same skip rule (si ∈ [2, S-1], threshold 0.9 decaying by
+0.02 per failed sweep), same last-frame padding.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from pips_tpu.inference.window import WindowTracker
+from pips_tpu.models import Pips
+
+
+def select_skip(vis_prob: np.ndarray, S: int = 8, thr_init: float = 0.9,
+                thr_decay: float = 0.02, si_earliest: int = 1) -> np.ndarray:
+    """Vectorized reference skip rule (``chain_demo.py:63-79``).
+
+    vis_prob: (..., S) sigmoid visibilities. Returns (...) int skip.
+
+    The reference scans si from S-1 down; si == si_earliest triggers a
+    threshold decay and a rescan, so acceptance is the largest
+    si in [si_earliest+1, S-1] with vis[si] > thr at the first threshold
+    where any such si exists.
+    """
+    cand = vis_prob[..., si_earliest + 1:]  # si in [earliest+1, S-1]
+    vmax = cand.max(axis=-1)
+    # number of decays needed: smallest k >= 0 with thr_init - k*decay < vmax
+    k = np.maximum(np.ceil((thr_init - vmax) / thr_decay + 1e-9), 0).astype(np.int64)
+    # strict inequality: if thr_init - k*decay == vmax exactly, decay once more
+    thr = thr_init - k * thr_decay
+    thr = np.where(thr >= vmax, thr - thr_decay, thr)
+    si = np.arange(si_earliest + 1, S)
+    accept = cand > thr[..., None]
+    # largest accepted si
+    return np.where(accept, si, -1).max(axis=-1)
+
+
+class ChainTracker:
+    """Track N points through a T-frame video by chaining S-frame windows."""
+
+    def __init__(self, model: Pips, params, iters: int = 6, capacity: int = 256,
+                 use_fused_corr: bool = True, encode_chunk: int = 8):
+        self.model = model
+        self.S = model.S
+        self.capacity = capacity
+        self.encode_chunk = encode_chunk
+        self.tracker = WindowTracker(model, params, iters=iters,
+                                     use_fused_corr=use_fused_corr)
+
+    def encode_video(self, rgbs: np.ndarray) -> jnp.ndarray:
+        """rgbs: (T, H, W, 3) -> fmaps (T, H8, W8, C), chunked fixed-shape jits."""
+        T = rgbs.shape[0]
+        ck = self.encode_chunk
+        chunks = []
+        for t0 in range(0, T, ck):
+            chunk = rgbs[t0:t0 + ck]
+            pad = ck - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)], 0)
+            fm = self.tracker.encode(chunk[None])[0]  # (ck, H8, W8, C)
+            chunks.append(fm[:ck - pad] if pad else fm)
+        return jnp.concatenate(chunks, axis=0)
+
+    def _window_fmaps(self, fmaps: jnp.ndarray, t: int) -> jnp.ndarray:
+        """(S, H8, W8, C) window starting at t, repeating the last frame past T."""
+        T = fmaps.shape[0]
+        idx = np.minimum(np.arange(t, t + self.S), T - 1)
+        return fmaps[idx]
+
+    def track_video(self, rgbs: np.ndarray, xys: np.ndarray):
+        """rgbs: (T, H, W, 3) float [0,255]; xys: (N, 2) frame-0 queries.
+
+        Returns (trajs (T, N, 2), vis (T, N) probabilities).
+        """
+        T, H, W, _ = rgbs.shape
+        N = xys.shape[0]
+        S = self.S
+
+        fmaps = self.encode_video(rgbs)
+        C = fmaps.shape[-1]
+
+        trajs = np.zeros((T, N, 2), np.float32)
+        vis_out = np.zeros((T, N), np.float32)
+        trajs[0] = xys
+        feats = np.zeros((N, C), np.float32)
+        has_feat = np.zeros(N, bool)
+
+        # queue: window start -> point ids
+        queue: dict[int, list[int]] = defaultdict(list)
+        queue[0] = list(range(N))
+
+        for t in range(T):  # starts are monotone, each < T
+            pts = queue.pop(t, None)
+            if not pts:
+                continue
+            fm_win = self._window_fmaps(fmaps, t)[None]  # (1, S, H8, W8, C)
+            S_local = min(S, T - t)
+            for i0 in range(0, len(pts), self.capacity):
+                group = pts[i0:i0 + self.capacity]
+                K = len(group)
+                # pad to a power-of-two bucket (>=8) so jit caches stay bounded
+                bucket = 8
+                while bucket < K:
+                    bucket *= 2
+                bucket = min(bucket, self.capacity)
+                padded = group + [group[0]] * (bucket - K)
+                q = trajs[t, padded][None]  # (1, bucket, 2)
+                if has_feat[group].all():
+                    f = feats[padded][None]
+                    coords, vis_e, _ = self.tracker.track(fm_win, q, jnp.asarray(f))
+                else:
+                    assert not has_feat[group].any(), "mixed feat groups impossible: all start at t=0"
+                    coords, vis_e, ffeat = self.tracker.track(fm_win, q)
+                    feats[group] = np.asarray(ffeat[0])[:K]
+                    has_feat[group] = True
+                coords = np.asarray(coords[0])[:, :K]   # (S, K, 2)
+                vis_p = 1.0 / (1.0 + np.exp(-np.asarray(vis_e[0])))[:, :K]  # (S, K)
+
+                trajs[t:t + S_local, group] = coords[:S_local]
+                vis_out[t:t + S_local, group] = vis_p[:S_local]
+
+                if t + 1 >= T:
+                    continue
+                skips = select_skip(vis_p.T, S=S)  # (K,)
+                for j, n in enumerate(group):
+                    nxt = t + int(skips[j])
+                    if nxt < T:
+                        queue[nxt].append(n)
+        return trajs, vis_out

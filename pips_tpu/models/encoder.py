@@ -101,5 +101,5 @@ class BasicEncoder(nn.Module):
         x = jnp.concatenate(feats, axis=-1)
         x = Conv(self.output_dim * 2, 3, 1, 1, name="conv2")(x)
         x = nn.relu(instance_norm(x))
-        x = Conv(self.output_dim, 1, 0, 0, name="conv3")(x)
+        x = Conv(self.output_dim, 1, 1, 0, name="conv3")(x)
         return x

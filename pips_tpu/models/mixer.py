@@ -1,0 +1,106 @@
+"""MLP-Mixer trajectory refiner (capability parity: reference ``nets/pips.py:93-123,283-311``).
+
+The DeltaBlock consumes, per point, an (S, kitchen) tensor of
+[current features | corr patches | sincos-embedded flow+time] and emits per-frame
+(Δxy, Δfeat) through a depth-12 MLP-Mixer whose token axis is time (S frames).
+
+TPU-first notes: all mixing ops are dense matmuls over the last axis (MXU);
+the token-mixing "Conv1d(k=1) across S" of the reference is expressed as a
+transpose + Dense, which XLA fuses into a single batched matmul. GELU is the
+exact (erf) variant to match torch ``nn.GELU`` defaults.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from pips_tpu.ops.embed import get_3d_embedding
+
+LN = lambda name: nn.LayerNorm(epsilon=1e-5, name=name)  # torch LayerNorm eps
+
+
+def gelu(x):
+    return jax.nn.gelu(x, approximate=False)
+
+
+class TokenMixFF(nn.Module):
+    """FeedForward across the token (S) axis: Dense(S->S*f) -> GELU -> Dense(->S)."""
+    tokens: int
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x):  # x: (B, S, D)
+        x = jnp.swapaxes(x, 1, 2)  # (B, D, S)
+        x = nn.Dense(self.tokens * self.expansion, name="fc1")(x)
+        x = gelu(x)
+        x = nn.Dense(self.tokens, name="fc2")(x)
+        return jnp.swapaxes(x, 1, 2)
+
+
+class ChannelMixFF(nn.Module):
+    """FeedForward across channels: Dense(D->D*f) -> GELU -> Dense(->D)."""
+    dim: int
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x):  # (B, S, D)
+        x = nn.Dense(self.dim * self.expansion, name="fc1")(x)
+        x = gelu(x)
+        x = nn.Dense(self.dim, name="fc2")(x)
+        return x
+
+
+class MLPMixer(nn.Module):
+    """input (B, S, input_dim) -> (B, output_dim); mean-pooled over S at the end."""
+    S: int
+    input_dim: int
+    dim: int
+    output_dim: int
+    depth: int
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.dim, name="embed")(x)
+        for d in range(self.depth):
+            x = x + TokenMixFF(self.S, self.expansion, name=f"block{d}_token")(
+                LN(f"block{d}_token_norm")(x))
+            x = x + ChannelMixFF(self.dim, self.expansion, name=f"block{d}_chan")(
+                LN(f"block{d}_chan_norm")(x))
+        x = LN("final_norm")(x)
+        x = jnp.mean(x, axis=1)  # (B, dim)
+        return nn.Dense(self.output_dim, name="head")(x)
+
+
+class DeltaBlock(nn.Module):
+    """Per-point iterative update head: (ffeat, corr, flow) -> (S, latent+2) deltas.
+
+    kitchen_dim = corr_levels*(2r+1)^2 + latent + 64*3 + 3
+    (reference ``nets/pips.py:289``: 196 + 128 + 195 = 519 at defaults).
+    """
+    latent_dim: int = 128
+    corr_levels: int = 4
+    corr_radius: int = 3
+    S: int = 8
+    mixer_dim: int = 512
+    mixer_depth: int = 12
+
+    @nn.compact
+    def __call__(self, fhid: jnp.ndarray, fcorr: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+        """fhid: (B*, S, latent); fcorr: (B*, S, L*(2r+1)^2); flow: (B*, S, 3)
+        where flow = [dx, dy, t]. Returns (B*, S, latent+2)."""
+        Bn, S, D = flow.shape
+        assert D == 3
+        flow_sincos = get_3d_embedding(flow, 64, cat_coords=True)  # (B*, S, 195)
+        x = jnp.concatenate([fhid, fcorr, flow_sincos], axis=2)
+        delta = MLPMixer(
+            S=self.S,
+            input_dim=x.shape[-1],
+            dim=self.mixer_dim,
+            output_dim=self.S * (self.latent_dim + 2),
+            depth=self.mixer_depth,
+            name="to_delta",
+        )(x)
+        return delta.reshape(Bn, self.S, self.latent_dim + 2)

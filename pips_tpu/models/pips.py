@@ -1,0 +1,170 @@
+"""Pips: persistent-point tracking over S-frame windows.
+
+Capability parity with reference ``nets/pips.py:400-611``: encode the window,
+initialize each query point's trajectory at zero velocity, then run ``iters``
+MLP-Mixer refinement updates over multi-scale correlation patches, and read
+visibility logits off the final point features.
+
+TPU-first structure:
+  * ``encode`` / ``track`` are separate so long-video chaining can encode all
+    frames once and re-run only the refinement per window
+    (see ``pips_tpu.inference.chain``).
+  * the refinement loop is statically unrolled under jit; coords are
+    ``stop_gradient``-ed at each iteration start (reference ``nets/pips.py:500``).
+  * eval locks the frame-0 coordinate after every update
+    (reference ``nets/pips.py:535-536``); train does not.
+  * ``use_fused_corr=True`` switches to the fused corr+sample path that never
+    materializes (B, S, N, H, W) score maps (eval-time memory/bandwidth win).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from pips_tpu.models.encoder import BasicEncoder
+from pips_tpu.models.mixer import DeltaBlock, gelu
+from pips_tpu.ops.corr import (build_fmap_pyramid, corr_pyramid, fcp_score_maps,
+                               fused_corr_sample, sample_corr_pyramid)
+from pips_tpu.ops.samp import bilinear_sample2d
+
+
+class PipsOutput(NamedTuple):
+    coord_predictions: jnp.ndarray   # (I, B, S, N, 2) pixel coords, one per refinement iter
+    coord_predictions2: jnp.ndarray  # (I+4, B, S, N, 2) vis-friendly padded sequence
+    vis_e: jnp.ndarray               # (B, S, N) visibility logits
+    ffeat: jnp.ndarray               # (B, N, C) frame-0 appearance feature (chaining anchor)
+    fcps: Optional[jnp.ndarray]      # (B, S, I, N, H8, W8) train-time score maps or None
+
+
+class Pips(nn.Module):
+    S: int = 8
+    stride: int = 8
+    latent_dim: int = 128
+    corr_levels: int = 4
+    corr_radius: int = 3
+    mixer_dim: int = 512
+    mixer_depth: int = 12
+
+    def setup(self):
+        self.fnet = BasicEncoder(output_dim=self.latent_dim, stride=self.stride)
+        self.delta_block = DeltaBlock(
+            latent_dim=self.latent_dim,
+            corr_levels=self.corr_levels,
+            corr_radius=self.corr_radius,
+            S=self.S,
+            mixer_dim=self.mixer_dim,
+            mixer_depth=self.mixer_depth,
+        )
+        # GroupNorm(1, C) on (B*, C) == LayerNorm over C with affine, eps 1e-5
+        self.ffeat_norm = nn.LayerNorm(epsilon=1e-5)
+        self.ffeat_updater = nn.Dense(self.latent_dim)
+        self.vis_predictor = nn.Dense(1)
+
+    def encode(self, rgbs: jnp.ndarray) -> jnp.ndarray:
+        """rgbs: (B, S, H, W, 3) in [0, 255] -> fmaps (B, S, H8, W8, C)."""
+        B, S, H, W, C_in = rgbs.shape
+        x = 2.0 * (rgbs / 255.0) - 1.0
+        fmaps = self.fnet(x.reshape(B * S, H, W, C_in))
+        H8, W8 = fmaps.shape[1], fmaps.shape[2]
+        return fmaps.reshape(B, S, H8, W8, self.latent_dim)
+
+    def track(self, fmaps: jnp.ndarray, xys: jnp.ndarray,
+              coords_init: Optional[jnp.ndarray] = None,
+              feat_init: Optional[jnp.ndarray] = None,
+              iters: int = 3, is_train: bool = False,
+              compute_fcp: bool = False, use_fused_corr: bool = False) -> PipsOutput:
+        """Refinement on precomputed feature maps.
+
+        fmaps: (B, S, H8, W8, C); xys: (B, N, 2) query pixel coords in frame 0;
+        coords_init: (B, S, N, 2) pixel coords; feat_init: (B, N, C).
+        """
+        B, S, H8, W8, C = fmaps.shape
+        assert S == self.S
+        N = xys.shape[1]
+
+        xys_ = xys / float(self.stride)
+        if coords_init is None:
+            coords = jnp.broadcast_to(xys_[:, None], (B, S, N, 2))
+        else:
+            coords = coords_init / float(self.stride)
+
+        pyramid = build_fmap_pyramid(fmaps, self.corr_levels)
+
+        if feat_init is None:
+            ffeat = bilinear_sample2d(fmaps[:, 0], coords[:, 0, :, 0], coords[:, 0, :, 1])
+        else:
+            ffeat = feat_init  # (B, N, C)
+        ffeats = jnp.broadcast_to(ffeat[:, None], (B, S, N, C))
+
+        coords_bak = coords
+
+        times = jnp.broadcast_to(
+            jnp.linspace(0.0, float(S), S).reshape(1, S, 1), (B * N, S, 1))
+
+        coord_predictions = []
+        coord_predictions2 = [coords * self.stride, coords * self.stride]
+        fcps = []
+
+        for _ in range(iters):
+            coords = jax.lax.stop_gradient(coords)
+
+            if compute_fcp:
+                corrs = corr_pyramid(pyramid, ffeats)
+                fcps.append(fcp_score_maps(corrs, (H8, W8)))
+                fcorrs = sample_corr_pyramid(corrs, coords, self.corr_radius)
+            elif use_fused_corr:
+                fcorrs = fused_corr_sample(pyramid, ffeats, coords, self.corr_radius)
+            else:
+                corrs = corr_pyramid(pyramid, ffeats)
+                fcorrs = sample_corr_pyramid(corrs, coords, self.corr_radius)
+
+            LRR = fcorrs.shape[-1]
+            # mixer layout: (B*N, S, ·)
+            fcorrs_ = jnp.swapaxes(fcorrs, 1, 2).reshape(B * N, S, LRR)
+            flows_ = jnp.swapaxes(coords - coords[:, 0:1], 1, 2).reshape(B * N, S, 2)
+            flows_ = jnp.concatenate([flows_, times], axis=2)  # (B*N, S, 3)
+            ffeats_ = jnp.swapaxes(ffeats, 1, 2).reshape(B * N, S, C)
+
+            delta_all_ = self.delta_block(ffeats_, fcorrs_, flows_)  # (B*N, S, C+2)
+            delta_coords_ = delta_all_[:, :, :2]
+            delta_feats_ = delta_all_[:, :, 2:].reshape(B * N * S, C)
+
+            ffeats_flat = ffeats_.reshape(B * N * S, C)
+            ffeats_flat = gelu(self.ffeat_updater(self.ffeat_norm(delta_feats_))) + ffeats_flat
+            ffeats = jnp.swapaxes(ffeats_flat.reshape(B, N, S, C), 1, 2)
+
+            coords = coords + jnp.swapaxes(delta_coords_.reshape(B, N, S, 2), 1, 2)
+
+            if not is_train:
+                coords = coords.at[:, 0].set(coords_bak[:, 0])  # lock query frame
+
+            coord_predictions.append(coords * self.stride)
+            coord_predictions2.append(coords * self.stride)
+
+        vis_e = self.vis_predictor(ffeats.reshape(B * S * N, C)).reshape(B, S, N)
+
+        coord_predictions2.append(coords * self.stride)
+        coord_predictions2.append(coords * self.stride)
+
+        return PipsOutput(
+            coord_predictions=jnp.stack(coord_predictions),
+            coord_predictions2=jnp.stack(coord_predictions2),
+            vis_e=vis_e,
+            ffeat=ffeat,
+            fcps=jnp.stack(fcps, axis=2) if fcps else None,  # (B, S, I, N, H8, W8)
+        )
+
+    def __call__(self, xys: jnp.ndarray, rgbs: jnp.ndarray,
+                 coords_init: Optional[jnp.ndarray] = None,
+                 feat_init: Optional[jnp.ndarray] = None,
+                 iters: int = 3, is_train: bool = False,
+                 compute_fcp: bool = False, use_fused_corr: bool = False) -> PipsOutput:
+        """Full forward: encode + track (reference ``Pips.forward`` signature analog)."""
+        fmaps = self.encode(rgbs)
+        return self.track(fmaps, xys, coords_init=coords_init, feat_init=feat_init,
+                          iters=iters, is_train=is_train, compute_fcp=compute_fcp,
+                          use_fused_corr=use_fused_corr)

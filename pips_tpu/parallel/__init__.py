@@ -1,0 +1,5 @@
+from pips_tpu.parallel.mesh import (batch_pspecs, make_mesh, make_sharded_forward,
+                                    make_sharded_train_step, replicate)
+
+__all__ = ["batch_pspecs", "make_mesh", "make_sharded_forward",
+           "make_sharded_train_step", "replicate"]

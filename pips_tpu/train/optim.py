@@ -1,0 +1,43 @@
+"""Optimizer and LR schedule (capability parity: reference ``train.py:24-30``).
+
+AdamW(eps=1e-8, weight_decay=1e-4) under a OneCycle schedule with linear
+annealing (torch ``OneCycleLR(max_lr, total_steps, pct_start=0.05,
+anneal_strategy='linear')`` semantics, including the default
+div_factor=25 / final_div_factor=1e4 endpoints), with global-norm gradient
+clipping at 5.0 (reference ``train.py:352``).
+"""
+
+from __future__ import annotations
+
+import optax
+
+
+def onecycle_linear(max_lr: float, total_steps: int, pct_start: float = 0.05,
+                    div_factor: float = 25.0, final_div_factor: float = 1e4):
+    """Linear warmup to ``max_lr`` then linear anneal, torch-OneCycleLR style."""
+    initial_lr = max_lr / div_factor
+    min_lr = initial_lr / final_div_factor
+    warmup = max(int(round(pct_start * total_steps)), 1)
+    return optax.join_schedules(
+        [optax.linear_schedule(initial_lr, max_lr, warmup),
+         optax.linear_schedule(max_lr, min_lr, max(total_steps - warmup, 1))],
+        boundaries=[warmup],
+    )
+
+
+def make_optimizer(lr: float, num_steps: int, wdecay: float = 1e-4,
+                   eps: float = 1e-8, clip: float = 5.0,
+                   use_scheduler: bool = True) -> optax.GradientTransformation:
+    """Clip -> AdamW(schedule). ``num_steps`` is optimizer steps (after grad-accum).
+
+    The reference passes ``total_steps = num_steps + 100`` to OneCycleLR
+    (``train.py:27``); we keep that detail.
+    """
+    if use_scheduler:
+        schedule = onecycle_linear(lr, num_steps + 100)
+    else:
+        schedule = lr
+    return optax.chain(
+        optax.clip_by_global_norm(clip),
+        optax.adamw(schedule, b1=0.9, b2=0.999, eps=eps, weight_decay=wdecay),
+    )

@@ -1,0 +1,84 @@
+"""Shape/behavior tests for the Pips model (small configs, CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pips_tpu.models import Pips
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    model = Pips(S=4, stride=8, latent_dim=16, corr_levels=3, corr_radius=2,
+                 mixer_dim=32, mixer_depth=2)
+    B, S, H, W, N = 1, 4, 64, 96, 6
+    rgbs = jnp.asarray(np.random.RandomState(0).rand(B, S, H, W, 3) * 255, jnp.float32)
+    xys = jnp.asarray(np.random.RandomState(1).rand(B, N, 2) * [W - 8, H - 8] + 4,
+                      jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), xys, rgbs, iters=1)
+    return model, params, xys, rgbs
+
+
+def test_forward_shapes(small_model):
+    model, params, xys, rgbs = small_model
+    B, S, H, W, _ = rgbs.shape
+    N = xys.shape[1]
+    I = 2
+    out = model.apply(params, xys, rgbs, iters=I)
+    assert out.coord_predictions.shape == (I, B, S, N, 2)
+    assert out.coord_predictions2.shape == (I + 4, B, S, N, 2)
+    assert out.vis_e.shape == (B, S, N)
+    assert out.ffeat.shape == (B, N, 16)
+    assert out.fcps is None
+
+
+def test_eval_locks_frame0(small_model):
+    model, params, xys, rgbs = small_model
+    out = model.apply(params, xys, rgbs, iters=2, is_train=False)
+    np.testing.assert_allclose(np.asarray(out.coord_predictions[-1][:, 0]),
+                               np.asarray(xys), rtol=1e-5, atol=1e-5)
+
+
+def test_train_mode_moves_frame0(small_model):
+    model, params, xys, rgbs = small_model
+    out = model.apply(params, xys, rgbs, iters=2, is_train=True)
+    # frame-0 coords are free to move during training
+    assert not np.allclose(np.asarray(out.coord_predictions[-1][:, 0]), np.asarray(xys))
+
+
+def test_fused_corr_matches_unfused(small_model):
+    model, params, xys, rgbs = small_model
+    out_a = model.apply(params, xys, rgbs, iters=2, use_fused_corr=False)
+    out_b = model.apply(params, xys, rgbs, iters=2, use_fused_corr=True)
+    np.testing.assert_allclose(np.asarray(out_a.coord_predictions),
+                               np.asarray(out_b.coord_predictions), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_a.vis_e), np.asarray(out_b.vis_e),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_fcp_shapes(small_model):
+    model, params, xys, rgbs = small_model
+    B, S, H, W, _ = rgbs.shape
+    N = xys.shape[1]
+    out = model.apply(params, xys, rgbs, iters=2, is_train=True, compute_fcp=True)
+    assert out.fcps.shape == (B, S, 2, N, H // 8, W // 8)
+
+
+def test_feat_init_passthrough(small_model):
+    model, params, xys, rgbs = small_model
+    out1 = model.apply(params, xys, rgbs, iters=1)
+    feat = out1.ffeat + 0.1
+    out2 = model.apply(params, xys, rgbs, iters=1, feat_init=feat)
+    np.testing.assert_allclose(np.asarray(out2.ffeat), np.asarray(feat), rtol=1e-6)
+    assert not np.allclose(np.asarray(out1.vis_e), np.asarray(out2.vis_e))
+
+
+def test_encode_track_composition(small_model):
+    model, params, xys, rgbs = small_model
+    out_full = model.apply(params, xys, rgbs, iters=2)
+    fmaps = model.apply(params, rgbs, method=Pips.encode)
+    out_split = model.apply(params, fmaps, xys, iters=2, method=Pips.track)
+    np.testing.assert_allclose(np.asarray(out_full.coord_predictions),
+                               np.asarray(out_split.coord_predictions), rtol=1e-5, atol=1e-5)

@@ -1,0 +1,143 @@
+"""Golden-value parity vs the upstream PyTorch reference (aharley/pips).
+
+These tests instantiate the reference ``nets/pips.py`` model on CPU with
+random weights, port the weights through ``pips_tpu.torchport``, and compare
+full-forward outputs. Skipped when the reference checkout is not mounted.
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from conftest import REFERENCE_DIR, requires_reference
+
+torch = pytest.importorskip("torch")
+
+
+@pytest.fixture(scope="module")
+def reference_pips():
+    if REFERENCE_DIR not in sys.path:
+        sys.path.insert(0, REFERENCE_DIR)
+    # reference forward calls .cuda() on a loss scalar (nets/pips.py:429);
+    # neutralize for CPU-only torch
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    from nets.pips import Pips as TorchPips  # noqa: E402
+
+    torch.manual_seed(125)
+    model = TorchPips(S=8, stride=8)
+    model.eval()
+    return model
+
+
+@pytest.fixture(scope="module")
+def ported(reference_pips):
+    from pips_tpu.models import Pips
+    from pips_tpu.torchport import convert_pips_state_dict
+
+    sd = {k: v.detach().numpy() for k, v in reference_pips.state_dict().items()}
+    params = {"params": convert_pips_state_dict(sd, mixer_depth=12)}
+    model = Pips(S=8, stride=8)
+    return model, params
+
+
+@pytest.fixture(scope="module")
+def inputs():
+    rng = np.random.RandomState(7)
+    B, S, H, W, N = 1, 8, 128, 160, 6
+    rgbs = (rng.rand(B, S, H, W, 3) * 255).astype(np.float32)
+    xys = (rng.rand(B, N, 2) * [W - 32, H - 32] + 16).astype(np.float32)
+    # plausible gt trajectories: query + drift
+    trajs_g = xys[:, None] + rng.randn(B, S, N, 2).astype(np.float32) * 8
+    vis_g = (rng.rand(B, S, N) > 0.3).astype(np.float32)
+    valids = (rng.rand(B, S, N) > 0.1).astype(np.float32)
+    return rgbs, xys, trajs_g, vis_g, valids
+
+
+@requires_reference
+def test_eval_forward_parity(reference_pips, ported, inputs):
+    rgbs, xys, _, _, _ = inputs
+    iters = 2
+
+    t_rgbs = torch.from_numpy(rgbs).permute(0, 1, 4, 2, 3)  # B,S,C,H,W
+    t_xys = torch.from_numpy(xys)
+    with torch.no_grad():
+        preds, preds2, vis_e, ffeat, _ = reference_pips(
+            t_xys, t_rgbs, iters=iters, return_feat=True)
+
+    model, params = ported
+    with jax.default_matmul_precision("highest"):
+        out = model.apply(params, jnp.asarray(xys), jnp.asarray(rgbs), iters=iters)
+
+    want_traj = torch.stack(preds).numpy()  # (I, B, S, N, 2)
+    got_traj = np.asarray(out.coord_predictions)
+    np.testing.assert_allclose(got_traj, want_traj, rtol=2e-3, atol=2e-3)
+
+    np.testing.assert_allclose(np.asarray(out.vis_e), vis_e.numpy(), rtol=2e-3, atol=2e-3)
+    # reference ffeat is (B, N, C)
+    np.testing.assert_allclose(np.asarray(out.ffeat), ffeat.numpy(), rtol=2e-3, atol=2e-3)
+
+    want_traj2 = torch.stack(preds2).numpy()
+    np.testing.assert_allclose(np.asarray(out.coord_predictions2), want_traj2,
+                               rtol=2e-3, atol=2e-3)
+
+
+@requires_reference
+def test_train_losses_parity(reference_pips, ported, inputs):
+    from pips_tpu.models.losses import balanced_ce_loss, score_map_loss, sequence_loss
+
+    rgbs, xys, trajs_g, vis_g, valids = inputs
+    iters = 2
+    stride = 8
+
+    t_rgbs = torch.from_numpy(rgbs).permute(0, 1, 4, 2, 3)
+    with torch.no_grad():
+        preds, _, vis_e, losses = reference_pips(
+            torch.from_numpy(xys), t_rgbs, iters=iters,
+            trajs_g=torch.from_numpy(trajs_g), vis_g=torch.from_numpy(vis_g),
+            valids=torch.from_numpy(valids), is_train=True)
+    want_seq, want_vis, want_ce = [float(l) for l in losses]
+
+    model, params = ported
+    with jax.default_matmul_precision("highest"):
+        out = model.apply(params, jnp.asarray(xys), jnp.asarray(rgbs), iters=iters,
+                          is_train=True, compute_fcp=True)
+        got_seq = float(sequence_loss(out.coord_predictions, jnp.asarray(trajs_g),
+                                      jnp.asarray(vis_g), jnp.asarray(valids), 0.8))
+        got_vis = float(balanced_ce_loss(out.vis_e, jnp.asarray(vis_g),
+                                         jnp.asarray(valids))[0])
+        got_ce = float(score_map_loss(out.fcps, jnp.asarray(trajs_g) / stride,
+                                      jnp.asarray(vis_g), jnp.asarray(valids)))
+
+    np.testing.assert_allclose(got_seq, want_seq, rtol=5e-3)
+    np.testing.assert_allclose(got_vis, want_vis, rtol=5e-3)
+    np.testing.assert_allclose(got_ce, want_ce, rtol=5e-3)
+
+
+@requires_reference
+def test_feat_init_coords_init_parity(reference_pips, ported, inputs):
+    """Chaining-relevant plumbing: coords_init + feat_init paths match."""
+    rgbs, xys, _, _, _ = inputs
+    B, S, H, W, _ = rgbs.shape
+    N = xys.shape[1]
+    rng = np.random.RandomState(3)
+    coords_init = (xys[:, None] + rng.randn(B, S, N, 2) * 4).astype(np.float32)
+    feat_init = rng.randn(B, N, 128).astype(np.float32)
+
+    with torch.no_grad():
+        preds, _, vis_e, ffeat, _ = reference_pips(
+            torch.from_numpy(xys), torch.from_numpy(rgbs).permute(0, 1, 4, 2, 3),
+            coords_init=torch.from_numpy(coords_init),
+            feat_init=torch.from_numpy(feat_init), iters=2, return_feat=True)
+
+    model, params = ported
+    with jax.default_matmul_precision("highest"):
+        out = model.apply(params, jnp.asarray(xys), jnp.asarray(rgbs),
+                          coords_init=jnp.asarray(coords_init),
+                          feat_init=jnp.asarray(feat_init), iters=2)
+    np.testing.assert_allclose(np.asarray(out.coord_predictions),
+                               torch.stack(preds).numpy(), rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out.ffeat), ffeat.numpy(), rtol=1e-5)
