@@ -1,0 +1,102 @@
+"""Benchmark: train-step throughput at the reference's published config.
+
+The only published timing in the reference is the train step at
+B=1, S=8, N=128, I=6, crop 384x512 (no flips): ~0.35-0.53 s/step post-warmup
+on a CUDA GPU (reference README.md:144-150). We report tracked
+points*frames/sec for the same step on this chip vs the 0.43 s midpoint
+baseline (128*8/0.43 = 2381 pf/s).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} (+extras).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def main(quick: bool = False):
+    from pips_tpu.data import SyntheticPointDataset, batch_iterator
+    from pips_tpu.models import Pips
+    from pips_tpu.train.optim import make_optimizer
+    from pips_tpu.train.step import TrainState, make_train_step
+
+    B, S, N, I = 1, 8, 128, 6
+    H, W = (256, 384) if quick else (384, 512)
+    if quick:
+        N, I = 32, 2
+
+    model = Pips(S=S, stride=8)
+    rng = jax.random.PRNGKey(0)
+    params = model.init(rng, jnp.ones((1, 4, 2)), jnp.zeros((1, S, 64, 64, 3)), iters=1)
+    tx = make_optimizer(5e-4, 100000)
+    state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+
+    ds = SyntheticPointDataset(S=S, N=N, H=H, W=W, seed=125)
+    batch = next(batch_iterator(ds, batch_size=B, num_workers=4))
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    step = jax.jit(make_train_step(model, tx, iters=I, horz_flip=False,
+                                   vert_flip=False), donate_argnums=(0,))
+
+    # warmup/compile
+    t0 = time.time()
+    state, metrics = step(state, batch)
+    jax.block_until_ready(metrics["total_loss"])
+    compile_time = time.time() - t0
+
+    n_steps = 3 if quick else 10
+    t0 = time.time()
+    for _ in range(n_steps):
+        state, metrics = step(state, batch)
+    jax.block_until_ready(metrics["total_loss"])
+    step_time = (time.time() - t0) / n_steps
+
+    pf_per_sec = B * N * S / step_time
+    baseline_pf_per_sec = 128 * 8 / 0.43  # reference README.md:144-150 midpoint
+
+    # secondary: inference window throughput (davis-style dense tracking probe,
+    # reference test_on_davis.py:111-129 uses chunks of 256 points at 480x1024)
+    Ni = 256 if not quick else 64
+    Hi, Wi = (480, 1024) if not quick else (256, 384)
+    rng_np = np.random.RandomState(0)
+    rgbs_i = jnp.asarray(rng_np.rand(1, S, Hi, Wi, 3) * 255, jnp.float32)
+    xys_i = jnp.asarray(rng_np.rand(1, Ni, 2) * [Wi - 8, Hi - 8] + 4, jnp.float32)
+
+    @jax.jit
+    def fwd(params, xys, rgbs):
+        out = model.apply(params, xys, rgbs, iters=6 if not quick else 2,
+                          is_train=False, use_fused_corr=True)
+        return out.coord_predictions[-1], out.vis_e
+
+    trajs, vis = fwd(state.params, xys_i, rgbs_i)
+    jax.block_until_ready(trajs)
+    t0 = time.time()
+    reps = 3 if quick else 10
+    for _ in range(reps):
+        trajs, vis = fwd(state.params, xys_i, rgbs_i)
+    jax.block_until_ready(trajs)
+    infer_time = (time.time() - t0) / reps
+    infer_tps = Ni * S / infer_time
+
+    print(json.dumps({
+        "metric": "train_points_frames_per_sec",
+        "value": round(pf_per_sec, 1),
+        "unit": "points*frames/sec (train step, B=1 S=8 N=128 I=6, 384x512)",
+        "vs_baseline": round(pf_per_sec / baseline_pf_per_sec, 2),
+        "extra": {
+            "train_step_time_s": round(step_time, 4),
+            "compile_time_s": round(compile_time, 1),
+            "inference_points_frames_per_sec": round(infer_tps, 1),
+            "inference_window_time_s": round(infer_time, 4),
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main(quick="--quick" in sys.argv)

@@ -1,0 +1,226 @@
+"""Host-side augmentations for point-tracking training.
+
+Capability parity with the reference pipeline
+(``flyingthingsdataset.py:595-846``): eraser & replace occlusion augs,
+color jitter + gaussian blur, per-frame drifting scale/stretch, drifting crop
+centered on the visible points, h/v flips — all with trajectory/visibility
+bookkeeping. Implemented with numpy/cv2 (no torchvision).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover - cv2 is expected in the image
+    cv2 = None
+
+
+def color_jitter(rgb: np.ndarray, rng: np.random.RandomState,
+                 brightness: float = 0.2, contrast: float = 0.2,
+                 saturation: float = 0.2, hue: float = 0.25 / 3.14) -> np.ndarray:
+    """torchvision-ColorJitter-strength photometric jitter on uint8 HWC."""
+    img = rgb.astype(np.float32)
+    b = rng.uniform(1 - brightness, 1 + brightness)
+    img = img * b
+    c = rng.uniform(1 - contrast, 1 + contrast)
+    mean = img.mean()
+    img = (img - mean) * c + mean
+    s = rng.uniform(1 - saturation, 1 + saturation)
+    gray = img.mean(axis=2, keepdims=True)
+    img = (img - gray) * s + gray
+    img = np.clip(img, 0, 255).astype(np.uint8)
+    if cv2 is not None and hue > 0:
+        h = rng.uniform(-hue, hue) * 180.0  # opencv hue range [0,180)
+        hsv = cv2.cvtColor(img, cv2.COLOR_RGB2HSV)
+        hsv[..., 0] = (hsv[..., 0].astype(np.int32) + int(round(h))) % 180
+        img = cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB)
+    return img
+
+
+def gaussian_blur(rgb: np.ndarray, rng: np.random.RandomState,
+                  ksize: int = 11, sigma_range=(0.1, 2.0)) -> np.ndarray:
+    sigma = rng.uniform(*sigma_range)
+    if cv2 is None:
+        return rgb
+    return cv2.GaussianBlur(rgb, (ksize, ksize), sigma)
+
+
+def eraser_aug(rgbs: list[np.ndarray], trajs: np.ndarray, visibles: np.ndarray,
+               rng: np.random.RandomState, prob: float = 0.9,
+               bounds=(2, 100), max_count: int = 10):
+    """Fill random rects (frames s>=1) with their mean color; points inside
+    become invisible (reference ``flyingthingsdataset.py:607-630``)."""
+    S = len(rgbs)
+    H, W = rgbs[0].shape[:2]
+    rgbs = [r.astype(np.float32) for r in rgbs]
+    for i in range(1, S):
+        if rng.rand() < prob:
+            for _ in range(rng.randint(1, max_count + 1)):
+                xc, yc = rng.randint(0, W), rng.randint(0, H)
+                dx = rng.randint(bounds[0], bounds[1])
+                dy = rng.randint(bounds[0], bounds[1])
+                x0 = int(np.clip(xc - dx / 2, 0, W - 1).round())
+                x1 = int(np.clip(xc + dx / 2, 0, W - 1).round())
+                y0 = int(np.clip(yc - dy / 2, 0, H - 1).round())
+                y1 = int(np.clip(yc + dy / 2, 0, H - 1).round())
+                if x1 <= x0 or y1 <= y0:
+                    continue
+                mean_color = rgbs[i][y0:y1, x0:x1].reshape(-1, 3).mean(axis=0)
+                rgbs[i][y0:y1, x0:x1] = mean_color
+                occ = ((trajs[i, :, 0] >= x0) & (trajs[i, :, 0] < x1)
+                       & (trajs[i, :, 1] >= y0) & (trajs[i, :, 1] < y1))
+                visibles[i, occ] = 0
+    return [r.astype(np.uint8) for r in rgbs], trajs, visibles
+
+
+def replace_aug(rgbs: list[np.ndarray], trajs: np.ndarray, visibles: np.ndarray,
+                rng: np.random.RandomState, prob: float = 0.9,
+                bounds=(2, 100), max_count: int = 20):
+    """Paste random jittered patches from other frames over frames s>=1;
+    points inside become invisible (``flyingthingsdataset.py:632-670``)."""
+    S = len(rgbs)
+    H, W = rgbs[0].shape[:2]
+    alt = [color_jitter(color_jitter(r, rng), rng) for r in rgbs]
+    rgbs = [r.astype(np.float32) for r in rgbs]
+    for i in range(1, S):
+        if rng.rand() < prob:
+            for _ in range(rng.randint(1, max_count + 1)):
+                xc, yc = rng.randint(0, W), rng.randint(0, H)
+                dx = rng.randint(bounds[0], bounds[1])
+                dy = rng.randint(bounds[0], bounds[1])
+                x0 = int(np.clip(xc - dx / 2, 0, W - 1).round())
+                x1 = int(np.clip(xc + dx / 2, 0, W - 1).round())
+                y0 = int(np.clip(yc - dy / 2, 0, H - 1).round())
+                y1 = int(np.clip(yc + dy / 2, 0, H - 1).round())
+                wid, hei = x1 - x0, y1 - y0
+                if wid <= 0 or hei <= 0 or hei >= H or wid >= W:
+                    continue
+                y00 = rng.randint(0, H - hei)
+                x00 = rng.randint(0, W - wid)
+                fr = rng.randint(0, S)
+                rgbs[i][y0:y1, x0:x1] = alt[fr][y00:y00 + hei, x00:x00 + wid]
+                occ = ((trajs[i, :, 0] >= x0) & (trajs[i, :, 0] < x1)
+                       & (trajs[i, :, 1] >= y0) & (trajs[i, :, 1] < y1))
+                visibles[i, occ] = 0
+    return [r.astype(np.uint8) for r in rgbs], trajs, visibles
+
+
+def photometric_augs(rgbs, trajs, visibles, rng, eraser=True, replace=True,
+                     color_prob=0.5, blur_prob=0.5):
+    """Full photometric stack (``flyingthingsdataset.py:595-682``)."""
+    rgbs = [np.asarray(r, np.uint8) for r in rgbs]
+    if eraser:
+        rgbs, trajs, visibles = eraser_aug(rgbs, trajs, visibles, rng)
+    if replace:
+        rgbs, trajs, visibles = replace_aug(rgbs, trajs, visibles, rng)
+    if rng.rand() < color_prob:
+        rgbs = [color_jitter(r, rng) for r in rgbs]
+    if rng.rand() < blur_prob:
+        rgbs = [gaussian_blur(r, rng) for r in rgbs]
+    return rgbs, trajs, visibles
+
+
+def spatial_augs(rgbs, occs, masks, trajs, visibles, rng, crop_size,
+                 pad_bounds=(0, 100), resize_lim=(0.25, 2.0), resize_delta=0.2,
+                 max_crop_offset=100, h_flip_prob=0.5, v_flip_prob=0.5):
+    """Drifting scale + drifting crop + flips (``flyingthingsdataset.py:684-846``).
+
+    occs are padded with 255 (padding marker used for visibility bookkeeping).
+    """
+    S = len(rgbs)
+    rgbs = [r.astype(np.float32) for r in rgbs]
+    trajs = trajs.copy()
+
+    pad_x0, pad_x1, pad_y0, pad_y1 = (rng.randint(pad_bounds[0], pad_bounds[1])
+                                      for _ in range(4))
+    rgbs = [np.pad(r, ((pad_y0, pad_y1), (pad_x0, pad_x1), (0, 0))) for r in rgbs]
+    occs = [np.pad(o, ((pad_y0, pad_y1), (pad_x0, pad_x1)), constant_values=255)
+            for o in occs]
+    masks = [np.pad(m, ((pad_y0, pad_y1), (pad_x0, pad_x1))) for m in masks]
+    trajs[:, :, 0] += pad_x0
+    trajs[:, :, 1] += pad_y0
+    H, W = rgbs[0].shape[:2]
+
+    # drifting scale
+    scale = rng.uniform(*resize_lim)
+    scale_x = scale_y = scale
+    sdx = sdy = 0.0
+    for s in range(S):
+        if s == 1:
+            sdx = rng.uniform(-resize_delta, resize_delta)
+            sdy = rng.uniform(-resize_delta, resize_delta)
+        elif s > 1:
+            sdx = sdx * 0.8 + rng.uniform(-resize_delta, resize_delta) * 0.2
+            sdy = sdy * 0.8 + rng.uniform(-resize_delta, resize_delta) * 0.2
+        scale_x += sdx
+        scale_y += sdy
+        scale_xy = (scale_x + scale_y) * 0.5
+        scale_x = scale_x * 0.5 + scale_xy * 0.5
+        scale_y = scale_y * 0.5 + scale_xy * 0.5
+        scale_x = float(np.clip(scale_x, 0.2, 2.0))
+        scale_y = float(np.clip(scale_y, 0.2, 2.0))
+        H_new = max(int(H * scale_y), crop_size[0] + 10)
+        W_new = max(int(W * scale_x), crop_size[1] + 10)
+        sx, sy = W_new / float(W), H_new / float(H)
+        rgbs[s] = cv2.resize(rgbs[s], (W_new, H_new), interpolation=cv2.INTER_LINEAR)
+        occs[s] = cv2.resize(occs[s], (W_new, H_new), interpolation=cv2.INTER_LINEAR)
+        masks[s] = cv2.resize(masks[s], (W_new, H_new), interpolation=cv2.INTER_LINEAR)
+        trajs[s, :, 0] *= sx
+        trajs[s, :, 1] *= sy
+
+    # drifting crop centered on visible points
+    ok = visibles[0, :] > 0
+    if ok.any():
+        mid_x = float(np.mean(trajs[0, ok, 0]))
+        mid_y = float(np.mean(trajs[0, ok, 1]))
+    else:
+        mid_y, mid_x = crop_size[0], crop_size[1]
+    x0 = int(mid_x - crop_size[1] // 2)
+    y0 = int(mid_y - crop_size[0] // 2)
+    off_x = off_y = 0
+    for s in range(S):
+        if s == 1:
+            off_x = rng.randint(-max_crop_offset, max_crop_offset)
+            off_y = rng.randint(-max_crop_offset, max_crop_offset)
+        elif s > 1:
+            off_x = int(off_x * 0.8 + rng.randint(-max_crop_offset, max_crop_offset + 1) * 0.2)
+            off_y = int(off_y * 0.8 + rng.randint(-max_crop_offset, max_crop_offset + 1) * 0.2)
+        x0 += off_x
+        y0 += off_y
+        H_new, W_new = rgbs[s].shape[:2]
+        y0 = 0 if H_new == crop_size[0] else min(max(0, y0), H_new - crop_size[0] - 1)
+        x0 = 0 if W_new == crop_size[1] else min(max(0, x0), W_new - crop_size[1] - 1)
+        rgbs[s] = rgbs[s][y0:y0 + crop_size[0], x0:x0 + crop_size[1]]
+        occs[s] = occs[s][y0:y0 + crop_size[0], x0:x0 + crop_size[1]]
+        masks[s] = masks[s][y0:y0 + crop_size[0], x0:x0 + crop_size[1]]
+        trajs[s, :, 0] -= x0
+        trajs[s, :, 1] -= y0
+
+    H_new, W_new = crop_size
+    if rng.rand() < h_flip_prob:
+        rgbs = [r[:, ::-1] for r in rgbs]
+        occs = [o[:, ::-1] for o in occs]
+        masks = [m[:, ::-1] for m in masks]
+        trajs[:, :, 0] = W_new - trajs[:, :, 0]
+    if rng.rand() < v_flip_prob:
+        rgbs = [r[::-1] for r in rgbs]
+        occs = [o[::-1] for o in occs]
+        masks = [m[::-1] for m in masks]
+        trajs[:, :, 1] = H_new - trajs[:, :, 1]
+    return rgbs, occs, masks, trajs
+
+
+def just_crop(rgbs, occs, masks, trajs, rng, crop_size):
+    """Random crop only (``flyingthingsdataset.py:848-869``)."""
+    H, W = rgbs[0].shape[:2]
+    trajs = trajs.copy()
+    y0 = rng.randint(0, max(H - crop_size[0], 1))
+    x0 = rng.randint(0, max(W - crop_size[1], 1))
+    rgbs = [r[y0:y0 + crop_size[0], x0:x0 + crop_size[1]] for r in rgbs]
+    occs = [o[y0:y0 + crop_size[0], x0:x0 + crop_size[1]] for o in occs]
+    masks = [m[y0:y0 + crop_size[0], x0:x0 + crop_size[1]] for m in masks]
+    trajs[:, :, 0] -= x0
+    trajs[:, :, 1] -= y0
+    return rgbs, occs, masks, trajs

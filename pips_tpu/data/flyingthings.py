@@ -1,0 +1,266 @@
+"""FlyingThings++ training/eval dataset.
+
+Capability parity with reference ``flyingthingsdataset.py:75-873``:
+  * index scan over ``trajs_<version>/<dset>/<subset>/**/trajs_at_k.npz``
+    (skipping near-empty files) and the matching occluder index;
+  * per sample: webp frames + pfm object-index masks + precomputed
+    trajectories; paste up to 12 cut-out occluders from other videos (with
+    their own trajectories joining the pool, and covered points marked
+    invisible); photometric + spatial augs (or just_crop);
+  * visibility bookkeeping: occ==255 padding and out-of-bounds kill
+    visibility; twice-visible filter (visible at frame 0 + one other frame,
+    in-bounds likewise); random subsample to N with zero-padding + valids;
+  * (sample, gotit) protocol with a fixed-shape fake sample on failure.
+
+Output is channel-last numpy: rgbs (S, H, W, 3) float32 0..255,
+occs/masks (S, H, W), trajs (S, N, 2), visibles/valids (S, N).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Optional
+
+import numpy as np
+
+from pips_tpu.data.augs import just_crop, photometric_augs, spatial_augs
+from pips_tpu.data.pfm import read_image_or_pfm
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+
+def _load_webp(path: str) -> np.ndarray:
+    from PIL import Image
+    with Image.open(path) as im:
+        return np.array(im)
+
+
+class FlyingThingsDataset:
+    def __init__(self, dataset_location: str = "../flyingthings", dset: str = "TRAIN",
+                 subset: str = "all", use_augs: bool = False, N: int = 0,
+                 S_load: int = 8, S: int = 8, crop_size=(368, 496),
+                 version: str = "ad", occ_version: str = "al",
+                 force_twice_vis: bool = True, force_last_vis: bool = False,
+                 force_all_inb: bool = False, max_occluders: int = 12,
+                 seed: int = 125):
+        self.S_load, self.S, self.N = S_load, S, N
+        self.use_augs = use_augs
+        self.crop_size = tuple(crop_size)
+        self.force_twice_vis = force_twice_vis
+        self.force_last_vis = force_last_vis
+        self.force_all_inb = force_all_inb
+        self.max_occluders = max_occluders
+        self.seed = seed
+
+        subsets = ["A", "B", "C"] if subset == "all" else [subset]
+
+        self.samples = []  # (rgb_dir, traj_dir, mask_dir, start_ind)
+        self.occluders = []  # (rgb_dir, mask_dir, start_ind, occ_file)
+        for sub in subsets:
+            rgb_root = os.path.join(dataset_location, "frames_cleanpass_webp", dset, sub)
+            traj_root = os.path.join(dataset_location, f"trajs_{version}", dset, sub)
+            mask_root = os.path.join(dataset_location, "object_index", dset, sub)
+            occ_root = os.path.join(dataset_location, f"occluders_{occ_version}", dset, sub)
+
+            for folder in sorted(glob.glob(os.path.join(traj_root, "*"))):
+                name = os.path.basename(folder)
+                for lr in ["left", "right"]:
+                    for start_ind in range(4):
+                        fn = os.path.join(traj_root, name, lr, f"trajs_at_{start_ind}.npz")
+                        if os.path.isfile(fn) and os.path.getsize(fn) > 1000:
+                            self.samples.append((os.path.join(rgb_root, name, lr),
+                                                 os.path.join(traj_root, name, lr),
+                                                 os.path.join(mask_root, name, lr),
+                                                 start_ind))
+            for folder in sorted(glob.glob(os.path.join(occ_root, "*"))):
+                name = os.path.basename(folder)
+                for lr in ["left", "right"]:
+                    for start_ind in range(3):
+                        fn = os.path.join(occ_root, name, lr, f"occluder_at_{start_ind}.npy")
+                        if os.path.isfile(fn) and os.path.getsize(fn) > 1000:
+                            self.occluders.append((os.path.join(rgb_root, name, lr),
+                                                   os.path.join(mask_root, name, lr),
+                                                   start_ind, fn))
+        print(f"found {len(self.samples)} samples and {len(self.occluders)} occluders "
+              f"in {dataset_location} (dset={dset}, subset={subset}, version={version})")
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    def _frame_names(self, rgb_dir: str, start_ind: int) -> list[str]:
+        names = sorted(os.path.splitext(os.path.basename(p))[0]
+                       for p in glob.glob(os.path.join(rgb_dir, "*")))
+        return names[start_ind:start_ind + self.S_load]
+
+    def _add_occluders(self, rgbs, masks, trajs, visibles, valids,
+                       rng: np.random.RandomState):
+        """Paste cut-out objects from other videos (``flyingthingsdataset.py:454-593``)."""
+        S = len(rgbs)
+        H, W = rgbs[0].shape[:2]
+        rgbs = [r.astype(np.float32) for r in rgbs]
+        occs = [np.zeros_like(r[:, :, 0]) for r in rgbs]
+
+        if self.occluders:
+            n_occ = min(self.max_occluders, len(self.occluders))
+            alt_inds = rng.choice(len(self.occluders), n_occ, replace=False)
+            for alt_ind in alt_inds:
+                occ_rgb_dir, occ_mask_dir, occ_start, occ_fn = self.occluders[alt_ind]
+                img_names = self._frame_names(occ_rgb_dir, occ_start)
+                occ_info = np.load(occ_fn, allow_pickle=True).item()
+                id_str = list(occ_info.keys())[rng.choice(len(occ_info))]
+                alt_trajs = np.asarray(occ_info[id_str], np.float32)
+                occ_id = int(id_str)
+
+                alt_rgbs, alt_masks, alt_masks_blur = [], [], []
+                for img_name in img_names:
+                    alt_rgbs.append(_load_webp(os.path.join(occ_rgb_dir, img_name + ".webp")))
+                    m = read_image_or_pfm(os.path.join(occ_mask_dir, img_name + ".pfm"))
+                    m = (m == occ_id).astype(np.float32)
+                    mb = np.clip(cv2.GaussianBlur(m, (3, 3), 0), 0, 1) if cv2 is not None else m
+                    alt_masks.append(m)
+                    alt_masks_blur.append(mb.reshape(H, W, 1))
+
+                alt_vis = np.ones((self.S, alt_trajs.shape[1]), np.float32)
+                alt_val = np.ones((self.S, alt_trajs.shape[1]), np.float32)
+                alt_rgbs, alt_trajs, alt_vis = photometric_augs(
+                    alt_rgbs, alt_trajs, alt_vis, rng, eraser=False, replace=False)
+
+                rgbs = [r * (1.0 - mb) + ar * mb
+                        for r, ar, mb in zip(rgbs, alt_rgbs, alt_masks_blur)]
+                occs = [o + m for o, m in zip(occs, alt_masks)]
+
+                for s in range(S):
+                    xy = trajs[s].round().astype(np.int32)
+                    x, y = xy[:, 0], xy[:, 1]
+                    xc = x.clip(0, W - 1)
+                    yc = y.clip(0, H - 1)
+                    covered = ((alt_masks[s][yc, xc] == 1) & (x >= 0) & (x <= W - 1)
+                               & (y >= 0) & (y <= H - 1))
+                    visibles[s, covered] = 0
+
+                trajs = np.concatenate([trajs, alt_trajs], axis=1)
+                valids = np.concatenate([valids, alt_val], axis=1)
+                visibles = np.concatenate([visibles, alt_vis], axis=1)
+
+        rgbs = [r.astype(np.uint8) for r in rgbs]
+        return rgbs, occs, masks, trajs, visibles, valids
+
+    def getitem_helper(self, index: int):
+        rgb_dir, traj_dir, mask_dir, start_ind = self.samples[index]
+        rng = np.random.RandomState((self.seed + index * 7919) % (1 << 31))
+
+        trajs = np.load(os.path.join(traj_dir, f"trajs_at_{start_ind}.npz"),
+                        allow_pickle=True)
+        trajs = dict(trajs)["trajs"].astype(np.float32)  # (S_load, N, 2)
+        S_load, N, _ = trajs.shape
+        assert S_load == self.S_load
+        trajs = trajs[:, rng.permutation(N)]
+        valids = np.ones((S_load, N), np.float32)
+        visibles = np.ones((S_load, N), np.float32)
+        if N < self.N:
+            return None, False
+
+        img_names = self._frame_names(rgb_dir, start_ind)
+        rgbs, masks = [], []
+        for img_name in img_names:
+            rgbs.append(_load_webp(os.path.join(rgb_dir, img_name + ".webp")))
+            masks.append(read_image_or_pfm(os.path.join(mask_dir, img_name + ".pfm")))
+
+        if self.S < self.S_load:
+            s0 = rng.randint(0, self.S_load - self.S)
+            rgbs, masks = rgbs[s0:s0 + self.S], masks[s0:s0 + self.S]
+            trajs = trajs[s0:s0 + self.S]
+            visibles = visibles[s0:s0 + self.S]
+            valids = valids[s0:s0 + self.S]
+
+        rgbs, occs, masks, trajs, visibles, valids = self._add_occluders(
+            rgbs, masks, trajs, visibles, valids, rng)
+
+        if self.use_augs:
+            rgbs, trajs, visibles = photometric_augs(rgbs, trajs, visibles, rng)
+            rgbs, occs, masks, trajs = spatial_augs(rgbs, occs, masks, trajs,
+                                                    visibles, rng, self.crop_size)
+        else:
+            rgbs, occs, masks, trajs = just_crop(rgbs, occs, masks, trajs, rng,
+                                                 self.crop_size)
+
+        H, W = self.crop_size
+        # padding (occ==255) and out-of-bounds kill visibility
+        for s in range(self.S):
+            xy = trajs[s].round().astype(np.int32)
+            x, y = xy[:, 0], xy[:, 1]
+            xc, yc = x.clip(0, W - 1), y.clip(0, H - 1)
+            padded = ((occs[s][yc, xc] == 255) & (x >= 0) & (x <= W - 1)
+                      & (y >= 0) & (y <= H - 1))
+            visibles[s, padded] = 0
+            oob = (trajs[s, :, 0] < 0) | (trajs[s, :, 0] > W - 1) \
+                | (trajs[s, :, 1] < 0) | (trajs[s, :, 1] > H - 1)
+            visibles[s, oob] = 0
+
+        def inb(s):
+            return ((trajs[s, :, 0] >= 0) & (trajs[s, :, 0] <= W - 1)
+                    & (trajs[s, :, 1] >= 0) & (trajs[s, :, 1] <= H - 1))
+
+        if self.force_twice_vis:
+            vis0 = visibles[0] > 0
+            inb0 = inb(0)
+            vis_other = visibles[1] > 0
+            inb_other = inb(1)
+            for s in range(2, self.S):
+                vis_other |= visibles[s] > 0
+                inb_other |= inb(s)
+            keep = (inb0 & inb_other) & (vis0 & vis_other)
+            trajs, visibles, valids = trajs[:, keep], visibles[:, keep], valids[:, keep]
+
+        if self.force_last_vis:
+            keep = (visibles[-1] > 0) & inb(self.S - 1)
+            trajs, visibles, valids = trajs[:, keep], visibles[:, keep], valids[:, keep]
+
+        if self.force_all_inb:
+            keep = inb(0)
+            for s in range(1, self.S):
+                keep &= inb(s)
+            trajs, visibles, valids = trajs[:, keep], visibles[:, keep], valids[:, keep]
+
+        if trajs.shape[1] <= self.N:
+            return None, False
+
+        inds = rng.choice(trajs.shape[1], self.N, replace=False)
+        trajs_full = np.zeros((self.S, self.N, 2), np.float32)
+        visibles_full = np.zeros((self.S, self.N), np.float32)
+        valids_full = np.zeros((self.S, self.N), np.float32)
+        trajs_full[:] = trajs[:, inds]
+        visibles_full[:] = visibles[:, inds]
+        valids_full[:] = valids[:, inds]
+
+        sample = {
+            "rgbs": np.stack(rgbs).astype(np.float32),
+            "occs": np.stack(occs).astype(np.float32),
+            "masks": np.stack(masks).astype(np.float32),
+            "trajs": trajs_full,
+            "visibles": visibles_full,
+            "valids": valids_full,
+        }
+        return sample, True
+
+    def __getitem__(self, index: int):
+        try:
+            sample, gotit = self.getitem_helper(index)
+        except (OSError, ValueError, KeyError) as e:
+            print(f"warning: sample {index} failed to load: {e}")
+            sample, gotit = None, False
+        if not gotit:
+            H, W = self.crop_size
+            sample = {
+                "rgbs": np.zeros((self.S, H, W, 3), np.float32),
+                "occs": np.zeros((self.S, H, W), np.float32),
+                "masks": np.zeros((self.S, H, W), np.float32),
+                "trajs": np.zeros((self.S, self.N, 2), np.float32),
+                "visibles": np.zeros((self.S, self.N), np.float32),
+                "valids": np.zeros((self.S, self.N), np.float32),
+            }
+        return sample, gotit

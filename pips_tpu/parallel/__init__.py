@@ -1,5 +1,5 @@
 from pips_tpu.parallel.mesh import (batch_pspecs, make_mesh, make_sharded_forward,
-                                    make_sharded_train_step, replicate)
+                                    make_sharded_train_step, replicate, shard_batch)
 
 __all__ = ["batch_pspecs", "make_mesh", "make_sharded_forward",
-           "make_sharded_train_step", "replicate"]
+           "make_sharded_train_step", "replicate", "shard_batch"]

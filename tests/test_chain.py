@@ -1,0 +1,107 @@
+"""Batched chaining vs a direct per-point reimplementation of the reference loop."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pips_tpu.data import SyntheticPointDataset
+from pips_tpu.inference import ChainTracker, WindowTracker, select_skip
+from pips_tpu.models import Pips
+
+TINY = dict(S=4, stride=8, latent_dim=16, corr_levels=3, corr_radius=2,
+            mixer_dim=32, mixer_depth=2)
+
+
+def reference_select_skip(vis, S, thr_init=0.9, thr_decay=0.02, si_earliest=1):
+    """Literal transcription of the scan in reference chain_demo.py:63-79."""
+    thr = thr_init
+    si_last = S - 1
+    si = si_last
+    while True:
+        if vis[si] > thr:
+            return si
+        si -= 1
+        if si == si_earliest:
+            thr -= thr_decay
+            si = si_last
+
+
+def test_select_skip_matches_reference_scan():
+    rng = np.random.RandomState(0)
+    for S in (4, 8):
+        vis = rng.rand(500, S).astype(np.float32)
+        got = select_skip(vis, S=S)
+        want = np.array([reference_select_skip(v, S) for v in vis])
+        np.testing.assert_array_equal(got, want)
+    # exact-threshold edge: vis == thr must NOT be accepted (strict >)
+    vis = np.full((1, 8), 0.9, np.float32)
+    vis[0, 7] = 0.88
+    vis[0, 6] = 0.9
+    got = select_skip(vis, S=8)
+    want = np.array([reference_select_skip(vis[0], 8)])
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.fixture(scope="module")
+def video_setup():
+    model = Pips(**TINY)
+    T, H, W, N = 10, 64, 96, 5
+    ds = SyntheticPointDataset(S=T, N=N, H=H, W=W, seed=21)
+    sample, _ = ds[0]
+    rgbs = sample["rgbs"]  # (T, H, W, 3)
+    xys = sample["trajs"][0]  # (N, 2)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(xys[None]),
+                        jnp.asarray(rgbs[None, :4]), iters=1)
+    return model, params, rgbs, xys
+
+
+def per_point_chain(model, params, rgbs, xy, iters=2):
+    """The reference's sequential single-point loop (chain_demo.py:40-83),
+    expressed against our model API, as the semantics oracle."""
+    T = rgbs.shape[0]
+    S = model.S
+    tracker = WindowTracker(model, params, iters=iters, use_fused_corr=True)
+    traj = np.zeros((T, 2), np.float32)
+    visp = np.zeros(T, np.float32)
+    traj[0] = xy
+    feat = None
+    cur = 0
+    while True:
+        idx = np.minimum(np.arange(cur, cur + S), T - 1)
+        window = rgbs[idx][None]  # last-frame padding
+        S_local = min(S, T - cur)
+        coords, vis, ffeat = tracker.track(
+            tracker.encode(window), traj[cur][None, None], feat)
+        if feat is None:
+            feat = ffeat
+        c = np.asarray(coords[0])
+        v = 1.0 / (1.0 + np.exp(-np.asarray(vis[0, :, 0])))
+        traj[cur:cur + S_local] = c[:S_local, 0]
+        visp[cur:cur + S_local] = v[:S_local]
+        si = reference_select_skip(v, S)
+        cur += si
+        if cur >= T:
+            return traj, visp
+
+
+def test_chain_tracker_matches_per_point_loop(video_setup):
+    model, params, rgbs, xys = video_setup
+    chain = ChainTracker(model, params, iters=2, capacity=8)
+    trajs, vis = chain.track_video(rgbs, xys)
+
+    for n in range(xys.shape[0]):
+        want_traj, want_vis = per_point_chain(model, params, rgbs, xys[n])
+        np.testing.assert_allclose(trajs[:, n], want_traj, rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(vis[:, n], want_vis, rtol=1e-3, atol=1e-3)
+
+
+def test_chain_tracker_shapes(video_setup):
+    model, params, rgbs, xys = video_setup
+    chain = ChainTracker(model, params, iters=1, capacity=4)  # force group splits
+    trajs, vis = chain.track_video(rgbs, xys)
+    T, N = rgbs.shape[0], xys.shape[0]
+    assert trajs.shape == (T, N, 2)
+    assert vis.shape == (T, N)
+    np.testing.assert_allclose(trajs[0], xys, atol=1e-4)

@@ -1,0 +1,79 @@
+"""Multi-device mesh tests on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pips_tpu.data import SyntheticPointDataset, batch_iterator
+from pips_tpu.models import Pips
+from pips_tpu.parallel import (make_mesh, make_sharded_forward,
+                               make_sharded_train_step, replicate, shard_batch)
+from pips_tpu.train.optim import make_optimizer
+from pips_tpu.train.step import TrainState, make_train_step
+
+TINY = dict(S=4, stride=8, latent_dim=16, corr_levels=3, corr_radius=2,
+            mixer_dim=32, mixer_depth=2)
+
+
+def _state(model, N=8, H=64, W=96):
+    rgbs = jnp.zeros((1, model.S, H, W, 3))
+    xys = jnp.ones((1, N, 2))
+    params = model.init(jax.random.PRNGKey(0), xys, rgbs, iters=1)
+    tx = make_optimizer(1e-3, 100)
+    return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_train_step_matches_single_device():
+    model = Pips(**TINY)
+    ds = SyntheticPointDataset(S=4, N=16, H=64, W=96, seed=11)
+    batch_np = next(batch_iterator(ds, batch_size=4, num_workers=2))
+
+    # single-device reference
+    state1 = _state(model, N=16)
+    step1 = jax.jit(make_train_step(model, state1.tx, iters=1,
+                                    horz_flip=False, vert_flip=False))
+    batch1 = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    state1, metrics1 = step1(state1, batch1)
+
+    # 4x2 mesh: B=4 over data, N=16 over 2-way point axis
+    mesh = make_mesh((4, 2))
+    state2 = jax.device_put(_state(model, N=16), replicate(mesh))
+    step2 = make_sharded_train_step(model, state2.tx, mesh, iters=1,
+                                    horz_flip=False, vert_flip=False,
+                                    donate_state=False)
+    batch2 = shard_batch(mesh, batch_np)
+    state2, metrics2 = step2(state2, batch2)
+
+    np.testing.assert_allclose(float(metrics1["total_loss"]),
+                               float(metrics2["total_loss"]), rtol=1e-4)
+    p1 = jax.tree.leaves(state1.params)[0]
+    p2 = jax.tree.leaves(state2.params)[0]
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=1e-3, atol=1e-5)
+
+
+def test_sharded_forward_points_axis():
+    model = Pips(**TINY)
+    state = _state(model, N=16)
+    mesh = make_mesh((4, 2))
+    fwd = make_sharded_forward(model, mesh, iters=1)
+
+    rng = np.random.RandomState(0)
+    rgbs = jnp.asarray(rng.rand(1, 4, 64, 96, 3) * 255, jnp.float32)
+    xys = jnp.asarray(rng.rand(1, 16, 2) * [80, 50] + 4, jnp.float32)
+    params = jax.device_put(state.params, replicate(mesh))
+    trajs, vis, ffeat = fwd(params, xys, rgbs)
+    assert trajs.shape == (1, 4, 16, 2)
+    assert vis.shape == (1, 4, 16)
+
+    # same numbers as unsharded forward
+    out = model.apply(state.params, xys, rgbs, iters=1, is_train=False,
+                      use_fused_corr=True)
+    np.testing.assert_allclose(np.asarray(trajs),
+                               np.asarray(out.coord_predictions[-1]),
+                               rtol=1e-4, atol=1e-4)
