@@ -1,0 +1,69 @@
+"""Long-video chaining demo (capability parity: reference ``chain_demo.py``).
+
+Tracks query points through an arbitrarily long jpg sequence via
+visibility-aware window chaining — batched across points on the TPU (the
+reference loops points sequentially; see ``pips_tpu.inference.chain``).
+
+    python examples/chain_demo.py --init_dir <ckpt> --images_dir ./demo_images
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import time
+
+import numpy as np
+
+from pips_tpu.evals.common import load_params, resize_video_half_pixel
+from pips_tpu.inference import ChainTracker
+from pips_tpu.models import Pips
+from pips_tpu.utils.improc import draw_trajs_on_rgbs, write_gif
+
+
+def main(init_dir: str = "checkpoints/ref", images_dir: str = "./demo_images",
+         out_dir: str = "./chain_out", S: int = 8, stride: int = 4, iters: int = 6,
+         resize_hw=(360, 640), x0: float = 450.0, y0: float = 100.0, N: int = 1,
+         grid: int = 0, max_frames: int = 0):
+    import imageio.v2 as imageio
+
+    filenames = sorted(glob.glob(os.path.join(images_dir, "*.jpg")))
+    if max_frames:
+        filenames = filenames[:max_frames]
+    if not filenames:
+        raise FileNotFoundError(f"no jpgs in {images_dir}")
+    T = len(filenames)
+    print(f"tracking through {T} frames")
+
+    H_, W_ = resize_hw
+    rgbs = np.stack([imageio.imread(f) for f in filenames]).astype(np.float32)
+    rgbs = resize_video_half_pixel(rgbs, (H_, W_))
+
+    if grid:
+        from pips_tpu.inference.window import grid_queries
+        xys = grid_queries(H_, W_, grid, grid)[0]
+    else:
+        xys = np.tile(np.array([[x0, y0]], np.float32), (N, 1))
+
+    model = Pips(S=S, stride=stride)
+    params = load_params(model, init_dir)
+    chain = ChainTracker(model, params, iters=iters)
+
+    t0 = time.time()
+    trajs, vis = chain.track_video(rgbs, xys.astype(np.float32))
+    dt = time.time() - t0
+    print(f"chained {len(xys)} points x {T} frames in {dt:.2f}s "
+          f"({len(xys) * T / dt:.0f} points*frames/sec)")
+
+    gray = np.mean(rgbs, axis=-1, keepdims=True).repeat(3, -1).astype(np.uint8)
+    vis_frames = draw_trajs_on_rgbs(gray, trajs, visibles=vis, cmap="spring",
+                                    linewidth=2)
+    os.makedirs(out_dir, exist_ok=True)
+    out_fn = os.path.join(out_dir, "chain_out.gif")
+    write_gif(out_fn, list(vis_frames), fps=12)
+    print(f"saved {out_fn}")
+
+
+if __name__ == "__main__":
+    from pips_tpu.utils.cli import auto_cli
+    auto_cli(main)

@@ -1,0 +1,65 @@
+"""Shared eval-runner utilities: weight loading (native or torch checkpoints)
+and host-side half-pixel resizing matching the reference eval scripts'
+``F.interpolate(mode='bilinear'/'nearest')`` preprocessing."""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+import jax
+
+from pips_tpu.models import Pips
+
+
+def load_params(model: Pips, init_dir: str, example_hw=(64, 96)):
+    """Load params from a pips_tpu checkpoint dir, a reference ``model-*.pth``
+    file/dir (via the torch port), or raise with guidance."""
+    import glob
+
+    import jax.numpy as jnp
+
+    from pips_tpu.utils import saverloader
+
+    if os.path.isdir(init_dir) and saverloader.list_steps(init_dir):
+        H, W = example_hw
+        rgbs = jnp.zeros((1, model.S, H, W, 3))
+        xys = jnp.ones((1, 4, 2))
+        target = model.init(jax.random.PRNGKey(0), xys, rgbs, iters=1)
+        params, step = saverloader.load(init_dir, target)
+        print(f"loaded pips_tpu checkpoint at step {step} from {init_dir}")
+        return params
+
+    pths = []
+    if os.path.isfile(init_dir) and init_dir.endswith(".pth"):
+        pths = [init_dir]
+    elif os.path.isdir(init_dir):
+        pths = sorted(glob.glob(os.path.join(init_dir, "*.pth")))
+    if pths:
+        from pips_tpu.torchport import load_torch_checkpoint
+        print(f"porting torch checkpoint {pths[-1]}")
+        return {"params": load_torch_checkpoint(pths[-1], mixer_depth=model.mixer_depth)}
+
+    raise FileNotFoundError(
+        f"no checkpoint found at {init_dir} (expected model-*.msgpack or model-*.pth)")
+
+
+def resize_video_half_pixel(rgbs: np.ndarray, out_hw: tuple[int, int]) -> np.ndarray:
+    """(S, H, W, C) bilinear resize with half-pixel centers (torch
+    ``F.interpolate(mode='bilinear', align_corners=False)`` semantics, as used
+    by the eval scripts' preprocessing, e.g. ``test_on_badja.py:50``)."""
+    import jax.image
+
+    S, H, W, C = rgbs.shape
+    out = jax.image.resize(rgbs, (S, out_hw[0], out_hw[1], C), method="linear")
+    return np.asarray(out)
+
+
+def resize_video_nearest(x: np.ndarray, out_hw: tuple[int, int]) -> np.ndarray:
+    """(S, H, W) nearest resize (torch ``F.interpolate(mode='nearest')``)."""
+    S, H, W = x.shape
+    ys = (np.arange(out_hw[0]) * H / out_hw[0]).astype(np.int64)
+    xs = (np.arange(out_hw[1]) * W / out_hw[1]).astype(np.int64)
+    return x[:, ys][:, :, xs]

@@ -1,0 +1,54 @@
+"""BADJA keypoint propagation eval (capability parity: reference
+``test_on_badja.py``): resize to 320x512, chain 8-frame windows per keypoint
+(batched here — the reference loops points sequentially), report per-video
+PCK@0.2*sqrt(seg area).
+
+    python -m pips_tpu.evals.run_badja --init_dir <ckpt> --data_dir <badja>
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from pips_tpu.data.badja import BadjaDataset
+from pips_tpu.evals.common import load_params, resize_video_half_pixel, resize_video_nearest
+from pips_tpu.evals.metrics import pck_at_sqrt_area
+from pips_tpu.inference import ChainTracker
+from pips_tpu.models import Pips
+
+
+def main(init_dir: str = "checkpoints/ref", data_dir: str = "/data/badja_data",
+         S: int = 8, stride: int = 4, iters: int = 6, max_iters: int = 7,
+         resize_hw=(320, 512)):
+    model = Pips(S=S, stride=stride)
+    params = load_params(model, init_dir)
+    chain = ChainTracker(model, params, iters=iters)
+
+    dataset = BadjaDataset(data_dir)
+    results = {}
+    for vid in range(min(max_iters, len(dataset))):
+        d = dataset[vid]
+        T, H, W, _ = d["rgbs"].shape
+        H_, W_ = resize_hw
+        sy, sx = H_ / H, W_ / W
+        rgbs = resize_video_half_pixel(d["rgbs"], (H_, W_))
+        segs = resize_video_nearest((d["segs"] > 0).astype(np.float32), (H_, W_))
+        trajs_g = d["trajs"] * [sx, sy]
+        vis = d["visibles"]
+
+        t0 = time.time()
+        trajs_e, _ = chain.track_video(rgbs, trajs_g[0].astype(np.float32))
+        pck = pck_at_sqrt_area(trajs_e, trajs_g, vis, segs)
+        results[d["name"]] = pck
+        print(f"{d['name']}: pck {pck:.1f} ({time.time() - t0:.1f}s, T={T})")
+
+    results["avg"] = float(np.mean([v for v in results.values()]))
+    print("results", results)
+    return results
+
+
+if __name__ == "__main__":
+    from pips_tpu.utils.cli import auto_cli
+    print(auto_cli(main))

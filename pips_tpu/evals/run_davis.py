@@ -1,0 +1,77 @@
+"""DAVIS dense-grid throughput probe (capability parity: reference
+``test_on_davis.py``): 8 frames resized to 480x1024, query every 8th pixel,
+track in chunks, print full_time / step time / TPS (the reference's own perf
+metric, ``test_on_davis.py:126-129``).
+
+    python -m pips_tpu.evals.run_davis --init_dir <ckpt> --davis_dir <davis>
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pips_tpu.evals.common import load_params, resize_video_half_pixel
+from pips_tpu.inference.window import dense_queries
+from pips_tpu.models import Pips
+
+
+def main(init_dir: str = "checkpoints/ref", davis_dir: str = "/data/davis",
+         S: int = 8, stride: int = 8, iters: int = 6, chunk: int = 256,
+         resize_hw=(480, 1024), max_videos: int = 20, point_stride: int = 8):
+    model = Pips(S=S, stride=stride)
+    params = load_params(model, init_dir)
+
+    video_dirs = sorted(glob.glob(os.path.join(davis_dir, "JPEGImages/Full-Resolution/*")))
+    if not video_dirs:
+        raise FileNotFoundError(f"no DAVIS videos under {davis_dir}")
+
+    @jax.jit
+    def fwd(params, xys, rgbs):
+        out = model.apply(params, xys, rgbs, iters=iters, is_train=False,
+                          use_fused_corr=True)
+        return out.coord_predictions[-1], out.vis_e
+
+    import imageio.v2 as imageio
+    H_, W_ = resize_hw
+    all_tps = []
+    for vd in video_dirs[:max_videos]:
+        frames = sorted(glob.glob(os.path.join(vd, "*.jpg")))[:S]
+        if len(frames) < S:
+            continue
+        rgbs = np.stack([imageio.imread(f) for f in frames]).astype(np.float32)
+        rgbs = resize_video_half_pixel(rgbs, (H_, W_))[None]
+
+        xy = dense_queries(H_, W_, stride=point_stride)[0]  # (H2*W2, 2)
+        t0 = time.time()
+        step_times = []
+        trajs, viss = [], []
+        for i0 in range(0, len(xy), chunk):
+            xy0 = xy[i0:i0 + chunk]
+            if len(xy0) < chunk:  # pad to fixed shape
+                xy0 = np.concatenate([xy0, np.repeat(xy0[-1:], chunk - len(xy0), 0)])
+            ts = time.time()
+            tr, vi = fwd(params, jnp.asarray(xy0[None], jnp.float32),
+                         jnp.asarray(rgbs, jnp.float32))
+            tr.block_until_ready()
+            step_times.append(time.time() - ts)
+            trajs.append(np.asarray(tr))
+            viss.append(np.asarray(vi))
+        full_time = time.time() - t0
+        tps = len(xy) / full_time
+        all_tps.append(tps)
+        print(f"{os.path.basename(vd)}: full_time {full_time:.2f}s; "
+              f"step {np.mean(step_times):.3f}s; TPS {tps:.0f}")
+    print(f"mean TPS over {len(all_tps)} videos: {np.mean(all_tps):.0f}")
+    return {"mean_tps": float(np.mean(all_tps))}
+
+
+if __name__ == "__main__":
+    from pips_tpu.utils.cli import auto_cli
+    print(auto_cli(main))

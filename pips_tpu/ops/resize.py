@@ -60,9 +60,8 @@ def avg_pool2x2(img: jnp.ndarray) -> jnp.ndarray:
     Parity with torch ``F.avg_pool2d(x, 2, stride=2)`` used for the corr
     pyramid (reference ``nets/pips.py:349``). img: (..., H, W, C).
     """
-    ndim = img.ndim
-    window = (1,) * (ndim - 3) + (2, 2, 1)
-    strides = window
-    init = jnp.zeros((), img.dtype)
-    summed = jax.lax.reduce_window(img, init, jax.lax.add, window, strides, "VALID")
-    return summed * jnp.asarray(0.25, img.dtype)
+    H, W, C = img.shape[-3], img.shape[-2], img.shape[-1]
+    H2, W2 = H // 2, W // 2
+    x = img[..., : H2 * 2, : W2 * 2, :]
+    x = x.reshape(*img.shape[:-3], H2, 2, W2, 2, C)
+    return x.mean(axis=(-4, -2))

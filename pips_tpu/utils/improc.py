@@ -1,0 +1,221 @@
+"""Visualization + summary writing (capability parity: reference
+``utils/improc.py:350-972``, host-side).
+
+Provides trajectory rasterization (cv2 lines/circles with matplotlib
+colormaps), PCA feature visualization, GIF export, and a ``Summ_writer``
+facade with the reference's ``save_this``/``scalar_freq`` gating — backed by
+the JSONL/tensorboard ``MetricWriter`` plus on-disk GIF/PNG files (framework
+code stays torch-free; everything here is numpy/cv2)."""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+from pips_tpu.utils.logging import MetricWriter
+
+EPS = 1e-6
+
+
+def preprocess_color(rgb: np.ndarray) -> np.ndarray:
+    """uint8-range [0,255] -> [-0.5, 0.5] float (reference convention)."""
+    return rgb.astype(np.float32) / 255.0 - 0.5
+
+
+def back2color(x: np.ndarray) -> np.ndarray:
+    """[-0.5, 0.5] -> uint8 [0,255]."""
+    return np.clip((x + 0.5) * 255.0, 0, 255).astype(np.uint8)
+
+
+def _colormap(vals: np.ndarray, cmap: str = "spring") -> np.ndarray:
+    """vals in [0,1] -> (..., 3) uint8 colors via matplotlib when available."""
+    try:
+        import matplotlib.cm as cm
+        mapper = cm.get_cmap(cmap)
+    except Exception:
+        try:
+            from matplotlib import colormaps
+            mapper = colormaps[cmap]
+        except Exception:
+            # fallback: simple green->red ramp
+            v = np.clip(vals, 0, 1)
+            return np.stack([v * 255, (1 - v) * 255, np.zeros_like(v)], -1).astype(np.uint8)
+    return (np.asarray(mapper(np.clip(vals, 0, 1)))[..., :3] * 255).astype(np.uint8)
+
+
+def draw_trajs_on_rgb(rgb: np.ndarray, trajs: np.ndarray,
+                      valids: Optional[np.ndarray] = None, cmap: str = "spring",
+                      linewidth: int = 1, show_dots: bool = True) -> np.ndarray:
+    """Rasterize full trajectories onto one frame.
+
+    rgb: (H, W, 3) uint8; trajs: (S, N, 2) xy. Colors follow time via cmap
+    (reference ``utils/improc.py:summ_traj2ds_on_rgb`` behavior).
+    """
+    img = rgb.copy()
+    if cv2 is None:
+        return img
+    S, N, _ = trajs.shape
+    colors = _colormap(np.linspace(0, 1, S), cmap)
+    for n in range(N):
+        if valids is not None and valids[0, n] <= 0:
+            continue
+        for s in range(S - 1):
+            p0 = tuple(np.round(trajs[s, n]).astype(int))
+            p1 = tuple(np.round(trajs[s + 1, n]).astype(int))
+            cv2.line(img, p0, p1, tuple(int(c) for c in colors[s]), linewidth,
+                     cv2.LINE_AA)
+        if show_dots:
+            p = tuple(np.round(trajs[-1, n]).astype(int))
+            cv2.circle(img, p, linewidth + 1, tuple(int(c) for c in colors[-1]), -1)
+    return img
+
+
+def draw_trajs_on_rgbs(rgbs: np.ndarray, trajs: np.ndarray,
+                       visibles: Optional[np.ndarray] = None,
+                       cmap: str = "spring", linewidth: int = 1) -> np.ndarray:
+    """Per-frame overlay: history up to s drawn on frame s.
+
+    rgbs: (S, H, W, 3) uint8; trajs: (S, N, 2). Returns (S, H, W, 3) uint8.
+    """
+    S = rgbs.shape[0]
+    out = []
+    for s in range(S):
+        img = draw_trajs_on_rgb(rgbs[s], trajs[: s + 1], cmap=cmap,
+                                linewidth=linewidth, show_dots=False)
+        if cv2 is not None:
+            N = trajs.shape[1]
+            colors = _colormap(np.full(N, s / max(S - 1, 1)), cmap)
+            for n in range(N):
+                if visibles is None or visibles[s, n] > 0.5:
+                    p = tuple(np.round(trajs[s, n]).astype(int))
+                    cv2.circle(img, p, linewidth + 1, tuple(int(c) for c in colors[n]), -1)
+        out.append(img)
+    return np.stack(out)
+
+
+def pca_feat_vis(feat: np.ndarray) -> np.ndarray:
+    """(H, W, C) feature map -> (H, W, 3) uint8 PCA visualization
+    (reference ``utils/improc.py:571-616`` capability)."""
+    H, W, C = feat.shape
+    flat = feat.reshape(-1, C).astype(np.float64)
+    flat = flat - flat.mean(axis=0)
+    # top-3 principal directions via SVD on (C, C) covariance
+    cov = flat.T @ flat / max(flat.shape[0] - 1, 1)
+    _, vecs = np.linalg.eigh(cov)
+    proj = flat @ vecs[:, -3:]  # (HW, 3)
+    lo, hi = proj.min(axis=0), proj.max(axis=0)
+    proj = (proj - lo) / (EPS + hi - lo)
+    return (proj.reshape(H, W, 3) * 255).astype(np.uint8)
+
+
+def write_gif(path: str, frames: Sequence[np.ndarray], fps: int = 8) -> None:
+    """frames: list of (H, W, 3) uint8."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    try:
+        import imageio.v2 as imageio
+        imageio.mimsave(path, list(frames), duration=1.0 / fps, loop=0)
+    except Exception:
+        from PIL import Image
+        imgs = [Image.fromarray(f) for f in frames]
+        imgs[0].save(path, save_all=True, append_images=imgs[1:],
+                     duration=int(1000 / fps), loop=0)
+
+
+def oned_to_rgb(x: np.ndarray, norm: bool = True) -> np.ndarray:
+    """(H, W) scalar map -> (H, W, 3) uint8 heatmap."""
+    if norm:
+        x = (x - x.min()) / (EPS + x.max() - x.min())
+    return _colormap(x, "viridis")
+
+
+class Summ_writer:
+    """Frequency-gated summary facade (reference ``utils/improc.py:350-440``).
+
+    ``save_this`` is true when global_step hits log_freq; scalars use the
+    finer scalar_freq. Media goes to ``<log_dir>/media/...``; scalars to the
+    MetricWriter (JSONL + optional tensorboard).
+    """
+
+    def __init__(self, writer: MetricWriter, global_step: int, log_freq: int = 100,
+                 fps: int = 8, scalar_freq: int = 10, just_gif: bool = True):
+        self.writer = writer
+        self.global_step = global_step
+        self.log_freq = max(log_freq, 1)
+        self.fps = fps
+        self.scalar_freq = max(scalar_freq, 1)
+        self.just_gif = just_gif
+        self.save_this = (global_step % self.log_freq == 0)
+        self.media_dir = os.path.join(writer.log_dir, "media")
+
+    def _media_path(self, name: str, ext: str) -> str:
+        safe = name.replace("/", "_")
+        return os.path.join(self.media_dir, f"{self.global_step:08d}_{safe}.{ext}")
+
+    def summ_scalar(self, name: str, value) -> None:
+        if self.global_step % self.scalar_freq == 0:
+            self.writer.scalars(self.global_step, {name: float(value)})
+
+    def summ_rgb(self, name: str, rgb: np.ndarray, only_return: bool = False):
+        """rgb: (H, W, 3) float [-0.5,0.5] or uint8."""
+        img = rgb if rgb.dtype == np.uint8 else back2color(rgb)
+        if not only_return and self.save_this and cv2 is not None:
+            path = self._media_path(name, "png")
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            cv2.imwrite(path, img[..., ::-1])
+        return img
+
+    def summ_rgbs(self, name: str, rgbs: Sequence[np.ndarray],
+                  only_return: bool = False):
+        frames = [r if r.dtype == np.uint8 else back2color(r) for r in rgbs]
+        if not only_return and self.save_this:
+            write_gif(self._media_path(name, "gif"), frames, fps=self.fps)
+        return np.stack(frames)
+
+    def summ_oned(self, name: str, x: np.ndarray, norm: bool = True,
+                  only_return: bool = False):
+        img = oned_to_rgb(x, norm=norm)
+        return self.summ_rgb(name, img, only_return=only_return)
+
+    def summ_oneds(self, name: str, xs: Sequence[np.ndarray], norm: bool = True,
+                   only_return: bool = False):
+        frames = [oned_to_rgb(x, norm=norm) for x in xs]
+        if not only_return and self.save_this:
+            write_gif(self._media_path(name, "gif"), frames, fps=self.fps)
+        return np.stack(frames)
+
+    def summ_feat(self, name: str, feat: np.ndarray, only_return: bool = False):
+        return self.summ_rgb(name, pca_feat_vis(feat), only_return=only_return)
+
+    def summ_feats(self, name: str, feats: Sequence[np.ndarray],
+                   only_return: bool = False):
+        frames = [pca_feat_vis(f) for f in feats]
+        if not only_return and self.save_this:
+            write_gif(self._media_path(name, "gif"), frames, fps=self.fps)
+        return np.stack(frames)
+
+    def summ_traj2ds_on_rgb(self, name: str, trajs: np.ndarray, rgb: np.ndarray,
+                            valids: Optional[np.ndarray] = None,
+                            cmap: str = "spring", linewidth: int = 1,
+                            only_return: bool = False):
+        img = rgb if rgb.dtype == np.uint8 else back2color(rgb)
+        img = draw_trajs_on_rgb(img, trajs, valids=valids, cmap=cmap,
+                                linewidth=linewidth)
+        return self.summ_rgb(name, img, only_return=only_return)
+
+    def summ_traj2ds_on_rgbs(self, name: str, trajs: np.ndarray, rgbs: np.ndarray,
+                             visibles: Optional[np.ndarray] = None,
+                             cmap: str = "spring", linewidth: int = 1,
+                             only_return: bool = False):
+        frames = rgbs if rgbs.dtype == np.uint8 else back2color(rgbs)
+        frames = draw_trajs_on_rgbs(frames, trajs, visibles=visibles, cmap=cmap,
+                                    linewidth=linewidth)
+        if not only_return and self.save_this:
+            write_gif(self._media_path(name, "gif"), list(frames), fps=self.fps)
+        return frames
