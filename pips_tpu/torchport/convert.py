@@ -93,6 +93,71 @@ def convert_pips_state_dict(sd: Mapping[str, np.ndarray],
     }
 
 
+def convert_raft_state_dict(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
+    """RAFT torch state_dict -> flax {params, batch_stats} for
+    ``pips_tpu.models.raft.RAFT``. Accepts 'module.' / 'model.module.' prefixes
+    (the reference wraps RAFT in DataParallel, ``nets/raftnet.py:27``)."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    for prefix in ("model.module.", "module."):
+        if any(k.startswith(prefix) for k in sd):
+            sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+            break
+
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def put(tree, path, value):
+        node = tree
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = value
+
+    def conv_at(dst_path, src):
+        put(params, list(dst_path) + ["Conv_0", "kernel"],
+            np.transpose(sd[src + ".weight"], (2, 3, 1, 0)))
+        put(params, list(dst_path) + ["Conv_0", "bias"], sd[src + ".bias"])
+
+    def bn_at(dst_path, src):
+        put(params, list(dst_path) + ["scale"], sd[src + ".weight"])
+        put(params, list(dst_path) + ["bias"], sd[src + ".bias"])
+        put(stats, list(dst_path) + ["mean"], sd[src + ".running_mean"])
+        put(stats, list(dst_path) + ["var"], sd[src + ".running_var"])
+
+    for enc, norm in (("fnet", "instance"), ("cnet", "batch")):
+        conv_at((enc, "conv1"), f"{enc}.conv1")
+        conv_at((enc, "conv2"), f"{enc}.conv2")
+        if norm == "batch":
+            bn_at((enc, "norm1"), f"{enc}.norm1")
+        for stage in (1, 2, 3):
+            for blk in (0, 1):
+                src = f"{enc}.layer{stage}.{blk}"
+                dst = (enc, f"layer{stage}_{blk}")
+                conv_at(dst + ("conv1",), src + ".conv1")
+                conv_at(dst + ("conv2",), src + ".conv2")
+                if norm == "batch":
+                    bn_at(dst + ("norm1",), src + ".norm1")
+                    bn_at(dst + ("norm2",), src + ".norm2")
+                if f"{src}.downsample.0.weight" in sd:
+                    conv_at(dst + ("downsample",), src + ".downsample.0")
+                    if norm == "batch":
+                        bn_at(dst + ("norm3",), src + ".norm3")
+
+    ub = ("update_block",)
+    for name in ("convc1", "convc2", "convf1", "convf2", "conv"):
+        conv_at(ub + ("encoder", name), f"update_block.encoder.{name}")
+    for name in ("convz1", "convr1", "convq1", "convz2", "convr2", "convq2"):
+        put(params, list(ub) + ["gru", name, "kernel"],
+            np.transpose(sd[f"update_block.gru.{name}.weight"], (2, 3, 1, 0)))
+        put(params, list(ub) + ["gru", name, "bias"],
+            sd[f"update_block.gru.{name}.bias"])
+    conv_at(ub + ("flow_head", "conv1"), "update_block.flow_head.conv1")
+    conv_at(ub + ("flow_head", "conv2"), "update_block.flow_head.conv2")
+    conv_at(ub + ("mask1",), "update_block.mask.0")
+    conv_at(ub + ("mask2",), "update_block.mask.2")
+
+    return {"params": params, "batch_stats": stats}
+
+
 def load_torch_checkpoint(path: str, mixer_depth: int = 12) -> Dict[str, Any]:
     """Load a reference ``model-*.pth`` checkpoint file into flax params.
 

@@ -31,7 +31,7 @@ def preprocess_color(rgb: np.ndarray) -> np.ndarray:
 
 def back2color(x: np.ndarray) -> np.ndarray:
     """[-0.5, 0.5] -> uint8 [0,255]."""
-    return np.clip((x + 0.5) * 255.0, 0, 255).astype(np.uint8)
+    return np.clip(np.round((x + 0.5) * 255.0), 0, 255).astype(np.uint8)
 
 
 def _colormap(vals: np.ndarray, cmap: str = "spring") -> np.ndarray:

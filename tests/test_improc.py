@@ -1,0 +1,58 @@
+"""Visualization layer smoke tests."""
+
+import os
+
+import numpy as np
+
+from pips_tpu.utils.improc import (Summ_writer, back2color, draw_trajs_on_rgb,
+                                   draw_trajs_on_rgbs, pca_feat_vis,
+                                   preprocess_color, write_gif)
+from pips_tpu.utils.logging import MetricWriter
+
+
+def test_color_roundtrip(rng):
+    rgb = (rng.rand(8, 8, 3) * 255).astype(np.uint8)
+    np.testing.assert_array_equal(back2color(preprocess_color(rgb)), rgb)
+
+
+def test_draw_trajs(rng):
+    rgb = np.zeros((32, 48, 3), np.uint8)
+    trajs = (rng.rand(4, 3, 2) * [46, 30] + 1).astype(np.float32)
+    out = draw_trajs_on_rgb(rgb, trajs, linewidth=1)
+    assert out.shape == rgb.shape
+    assert out.sum() > 0  # something was drawn
+    frames = draw_trajs_on_rgbs(np.stack([rgb] * 4), trajs)
+    assert frames.shape == (4, 32, 48, 3)
+
+
+def test_pca_feat_vis(rng):
+    feat = rng.randn(16, 20, 8).astype(np.float32)
+    vis = pca_feat_vis(feat)
+    assert vis.shape == (16, 20, 3)
+    assert vis.dtype == np.uint8
+
+
+def test_summ_writer_gating(tmp_path, rng):
+    writer = MetricWriter(str(tmp_path), use_tensorboard=False)
+    sw = Summ_writer(writer, global_step=10, log_freq=5, scalar_freq=2)
+    assert sw.save_this
+    sw.summ_scalar("loss", 1.5)
+    rgb = (rng.rand(16, 16, 3) * 255).astype(np.uint8)
+    sw.summ_rgbs("vid", [rgb, rgb])
+    gifs = [f for f in os.listdir(sw.media_dir)] if os.path.isdir(sw.media_dir) else []
+    assert any(f.endswith(".gif") for f in gifs)
+
+    sw2 = Summ_writer(writer, global_step=11, log_freq=5, scalar_freq=2)
+    assert not sw2.save_this
+    sw2.summ_scalar("loss", 2.0)  # odd step: gated out
+    with open(writer.path) as f:
+        lines = f.readlines()
+    assert len(lines) == 1
+    writer.close()
+
+
+def test_write_gif(tmp_path, rng):
+    frames = [(rng.rand(8, 8, 3) * 255).astype(np.uint8) for _ in range(3)]
+    path = str(tmp_path / "x.gif")
+    write_gif(path, frames, fps=4)
+    assert os.path.getsize(path) > 0
