@@ -1,0 +1,199 @@
+"""TPU kernels for the corr-pyramid hot path.
+
+Two alternative device-side strategies for per-point patch extraction (the
+reference's ``CorrBlock.sample``, our ``pips_tpu.ops.corr``), both avoiding
+XLA's scattered-gather lowering:
+
+* ``sample_corr_onehot`` — pure-XLA one-hot formulation: row/column selection
+  of the (2r+2)^2 integer patch becomes two small batched matmuls against
+  iota-built one-hot matrices. No gather anywhere; everything is MXU/VPU
+  work. Mathematically identical to ``sample_corr_pyramid`` (zero padding via
+  one-hot columns that select nothing out of bounds).
+
+* ``corr_sample_pallas`` — a Pallas kernel that fuses corr computation and
+  patch extraction per (frame, point-tile) grid step: the feature-map level
+  is staged in VMEM once per frame, the (TN, C) x (C, H*W) score matmul runs
+  on the MXU into VMEM scratch, and the one-hot patch selection contracts in
+  VMEM — the (B, S, N, H, W) score volume never touches HBM (the reference's
+  memory hot spot at dense N, ``nets/pips.py:384-398``).
+
+Both produce patches in the reference's transposed offset ordering
+(patch[i, j] ~ (x + o_i, y + o_j), i-major flatten).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _integer_patch_onehots(coords: jnp.ndarray, H: int, W: int, radius: int):
+    """coords: (..., 2) at this level's scale.
+
+    Returns (oy, ox, wx, wy): one-hot selectors (..., G, H) / (..., G, W) with
+    out-of-bounds rows all-zero (zero padding), and fractional weights.
+    """
+    r = radius
+    G = 2 * r + 2
+    x = coords[..., 0]
+    y = coords[..., 1]
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    wx = x - x0f
+    wy = y - y0f
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+
+    a = jnp.arange(G, dtype=jnp.int32)
+    rows = y0[..., None] - r + a  # (..., G)
+    cols = x0[..., None] - r + a
+    hh = jnp.arange(H, dtype=jnp.int32)
+    ww = jnp.arange(W, dtype=jnp.int32)
+    oy = (rows[..., :, None] == hh).astype(jnp.float32)  # (..., G, H)
+    ox = (cols[..., :, None] == ww).astype(jnp.float32)  # (..., G, W)
+    return oy, ox, wx, wy
+
+
+def _bilinear_from_integer_patch(g: jnp.ndarray, wx: jnp.ndarray, wy: jnp.ndarray,
+                                 radius: int) -> jnp.ndarray:
+    """g: (..., G, G) integer scores [row a, col b]; returns (..., P*P) in the
+    reference's transposed ordering."""
+    P = 2 * radius + 1
+    G = P + 1
+    wxe = wx[..., None, None]
+    wye = wy[..., None, None]
+    interp = ((1 - wye) * (1 - wxe) * g[..., 0:P, 0:P]
+              + (1 - wye) * wxe * g[..., 0:P, 1:G]
+              + wye * (1 - wxe) * g[..., 1:G, 0:P]
+              + wye * wxe * g[..., 1:G, 1:G])  # indexed [j, i]
+    interp = jnp.swapaxes(interp, -1, -2)
+    return interp.reshape(*g.shape[:-2], P * P)
+
+
+def sample_corr_onehot(corrs: list[jnp.ndarray], coords: jnp.ndarray,
+                       radius: int = 3) -> jnp.ndarray:
+    """Gather-free equivalent of ``ops.corr.sample_corr_pyramid``.
+
+    corrs: list of (B, S, N, H_l, W_l); coords: (B, S, N, 2) level-0 scale.
+    """
+    out = []
+    for lvl, corr in enumerate(corrs):
+        H, W = corr.shape[-2], corr.shape[-1]
+        c = coords / (2.0 ** lvl)
+        oy, ox, wx, wy = _integer_patch_onehots(c, H, W, radius)
+        # row-select then column-select: two batched matmuls
+        rows = jnp.einsum("bsngh,bsnhw->bsngw", oy, corr)
+        g = jnp.einsum("bsnkw,bsngw->bsngk", ox, rows)
+        out.append(_bilinear_from_integer_patch(g, wx, wy, radius))
+    return jnp.concatenate(out, axis=-1)
+
+
+def _corr_sample_kernel(coords_ref, fmap_ref, targets_ref, out_ref, corr_scratch,
+                        *, H: int, W: int, C: int, TN: int, radius: int,
+                        scale: float):
+    """Grid step (s, n_tile): fmap (H*W, C) and targets (TN, C) in VMEM."""
+    r = radius
+    P = 2 * r + 1
+    G = P + 1  # integer patch side
+
+    # MXU: scores for the whole level, kept in VMEM scratch
+    corr_scratch[:] = jax.lax.dot_general(
+        targets_ref[0], fmap_ref[0],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # (TN, H*W)
+
+    c = coords_ref[0]  # (TN, 2)
+    x = c[:, 0]
+    y = c[:, 1]
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    wx = x - x0f
+    wy = y - y0f
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+
+    a = jax.lax.broadcasted_iota(jnp.int32, (TN, G), 1)
+    rows = y0[:, None] - r + a  # (TN, G)
+    cols = x0[:, None] - r + a
+    hh = jax.lax.broadcasted_iota(jnp.int32, (G, H), 1)
+    ww = jax.lax.broadcasted_iota(jnp.int32, (G, W), 1)
+    oy = (rows[:, :, None] == hh[None]).astype(jnp.float32)  # (TN, G, H)
+    ox = (cols[:, :, None] == ww[None]).astype(jnp.float32)  # (TN, G, W)
+
+    corr_maps = corr_scratch[:].reshape(TN, H, W)
+    rows_sel = jax.lax.dot_general(
+        oy, corr_maps, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # (TN, G, W)
+    g = jax.lax.dot_general(
+        ox, rows_sel, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # (TN, G_cols, G_rows) -> [b, a]
+    g = jnp.swapaxes(g, 1, 2)  # (TN, a, b)
+
+    wxe = wx[:, None, None]
+    wye = wy[:, None, None]
+    interp = ((1 - wye) * (1 - wxe) * g[:, 0:P, 0:P]
+              + (1 - wye) * wxe * g[:, 0:P, 1:G]
+              + wye * (1 - wxe) * g[:, 1:G, 0:P]
+              + wye * wxe * g[:, 1:G, 1:G])
+    interp = jnp.swapaxes(interp, 1, 2)  # reference transposed ordering
+    out_ref[0] = interp.reshape(TN, P * P)
+
+
+def corr_sample_pallas_level(fmap: jnp.ndarray, targets: jnp.ndarray,
+                             coords: jnp.ndarray, radius: int = 3,
+                             tile_n: int = 128) -> jnp.ndarray:
+    """One pyramid level, batch folded: fmap (S, H, W, C), targets (S, N, C),
+    coords (S, N, 2) at THIS level's scale -> (S, N, P*P)."""
+    S, H, W, C = fmap.shape
+    N = targets.shape[1]
+    P = 2 * radius + 1
+    TN = min(tile_n, N)
+    assert N % TN == 0, (N, TN)
+    scale = 1.0 / math.sqrt(C)
+
+    kernel = functools.partial(_corr_sample_kernel, H=H, W=W, C=C, TN=TN,
+                               radius=radius, scale=scale)
+    grid = (S, N // TN)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, TN, 2), lambda s, n: (s, n, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H * W, C), lambda s, n: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TN, C), lambda s, n: (s, n, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TN, P * P), lambda s, n: (s, n, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((S, N, P * P), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((TN, H * W), jnp.float32)],
+    )(coords.reshape(S, N, 2), fmap.reshape(S, H * W, C), targets)
+
+
+def corr_sample_pallas(pyramid: list[jnp.ndarray], targets: jnp.ndarray,
+                       coords: jnp.ndarray, radius: int = 3,
+                       tile_n: int = 128) -> jnp.ndarray:
+    """Drop-in fused corr+sample (matches ``ops.corr.fused_corr_sample``).
+
+    pyramid: list of (B, S, H_l, W_l, C); targets (B, S, N, C);
+    coords (B, S, N, 2) level-0 scale -> (B, S, N, L*(2r+1)^2).
+    """
+    B, S, N, C = targets.shape
+    out = []
+    for lvl, fm in enumerate(pyramid):
+        _, _, H, W, _ = fm.shape
+        res = corr_sample_pallas_level(
+            fm.reshape(B * S, H, W, C),
+            targets.reshape(B * S, N, C),
+            (coords / (2.0 ** lvl)).reshape(B * S, N, 2),
+            radius=radius, tile_n=tile_n)
+        out.append(res.reshape(B, S, N, -1))
+    return jnp.concatenate(out, axis=-1)
