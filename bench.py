@@ -65,7 +65,11 @@ def main(quick: bool = False):
     Hi, Wi = (480, 1024) if not quick else (256, 384)
     rng_np = np.random.RandomState(0)
     rgbs_i = jnp.asarray(rng_np.rand(1, S, Hi, Wi, 3) * 255, jnp.float32)
-    xys_i = jnp.asarray(rng_np.rand(1, Ni, 2) * [Wi - 8, Hi - 8] + 4, jnp.float32)
+    reps = 3 if quick else 10
+    # distinct query sets per rep: repeated identical executions can be
+    # served from a result cache on some platforms, inflating throughput
+    xys_set = [jnp.asarray(rng_np.rand(1, Ni, 2) * [Wi - 8, Hi - 8] + 4, jnp.float32)
+               for _ in range(reps + 1)]
 
     @jax.jit
     def fwd(params, xys, rgbs):
@@ -73,12 +77,11 @@ def main(quick: bool = False):
                           is_train=False, use_fused_corr=True)
         return out.coord_predictions[-1], out.vis_e
 
-    trajs, vis = fwd(state.params, xys_i, rgbs_i)
+    trajs, vis = fwd(state.params, xys_set[0], rgbs_i)
     jax.block_until_ready(trajs)
     t0 = time.time()
-    reps = 3 if quick else 10
-    for _ in range(reps):
-        trajs, vis = fwd(state.params, xys_i, rgbs_i)
+    for r in range(reps):
+        trajs, vis = fwd(state.params, xys_set[r + 1], rgbs_i)
     jax.block_until_ready(trajs)
     infer_time = (time.time() - t0) / reps
     infer_tps = Ni * S / infer_time

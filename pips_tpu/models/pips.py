@@ -76,11 +76,19 @@ class Pips(nn.Module):
               coords_init: Optional[jnp.ndarray] = None,
               feat_init: Optional[jnp.ndarray] = None,
               iters: int = 3, is_train: bool = False,
-              compute_fcp: bool = False, use_fused_corr: bool = False) -> PipsOutput:
+              compute_fcp: bool = False, use_fused_corr: bool = False,
+              corr_mode: Optional[str] = None) -> PipsOutput:
         """Refinement on precomputed feature maps.
 
         fmaps: (B, S, H8, W8, C); xys: (B, N, 2) query pixel coords in frame 0;
         coords_init: (B, S, N, 2) pixel coords; feat_init: (B, N, C).
+
+        corr_mode selects the corr+sample execution path (all numerically
+        equivalent): 'full' (reference-style score maps then bilinear
+        sampling), 'fused' (gather-based, no score maps), 'onehot'
+        (gather-free matmul sampling of score maps), 'pallas' (fused TPU
+        kernel, VMEM-resident score tiles). Default: 'fused' when
+        ``use_fused_corr`` else 'full'.
         """
         B, S, H8, W8, C = fmaps.shape
         assert S == self.S
@@ -112,12 +120,20 @@ class Pips(nn.Module):
         for _ in range(iters):
             coords = jax.lax.stop_gradient(coords)
 
+            mode = corr_mode or ("fused" if use_fused_corr else "full")
             if compute_fcp:
                 corrs = corr_pyramid(pyramid, ffeats)
                 fcps.append(fcp_score_maps(corrs, (H8, W8)))
                 fcorrs = sample_corr_pyramid(corrs, coords, self.corr_radius)
-            elif use_fused_corr:
+            elif mode == "fused":
                 fcorrs = fused_corr_sample(pyramid, ffeats, coords, self.corr_radius)
+            elif mode == "onehot":
+                from pips_tpu.kernels.corr_pallas import sample_corr_onehot
+                corrs = corr_pyramid(pyramid, ffeats)
+                fcorrs = sample_corr_onehot(corrs, coords, self.corr_radius)
+            elif mode == "pallas":
+                from pips_tpu.kernels.corr_pallas import corr_sample_pallas
+                fcorrs = corr_sample_pallas(pyramid, ffeats, coords, self.corr_radius)
             else:
                 corrs = corr_pyramid(pyramid, ffeats)
                 fcorrs = sample_corr_pyramid(corrs, coords, self.corr_radius)
@@ -162,9 +178,10 @@ class Pips(nn.Module):
                  coords_init: Optional[jnp.ndarray] = None,
                  feat_init: Optional[jnp.ndarray] = None,
                  iters: int = 3, is_train: bool = False,
-                 compute_fcp: bool = False, use_fused_corr: bool = False) -> PipsOutput:
+                 compute_fcp: bool = False, use_fused_corr: bool = False,
+                 corr_mode: Optional[str] = None) -> PipsOutput:
         """Full forward: encode + track (reference ``Pips.forward`` signature analog)."""
         fmaps = self.encode(rgbs)
         return self.track(fmaps, xys, coords_init=coords_init, feat_init=feat_init,
                           iters=iters, is_train=is_train, compute_fcp=compute_fcp,
-                          use_fused_corr=use_fused_corr)
+                          use_fused_corr=use_fused_corr, corr_mode=corr_mode)

@@ -82,3 +82,20 @@ def test_encode_track_composition(small_model):
     out_split = model.apply(params, fmaps, xys, iters=2, method=Pips.track)
     np.testing.assert_allclose(np.asarray(out_full.coord_predictions),
                                np.asarray(out_split.coord_predictions), rtol=1e-5, atol=1e-5)
+
+
+def test_corr_modes_equivalent(small_model):
+    from jax.experimental.pallas import tpu as pltpu
+
+    model, params, xys, rgbs = small_model
+    ref = model.apply(params, xys, rgbs, iters=2, corr_mode="full")
+    for mode in ("fused", "onehot"):
+        out = model.apply(params, xys, rgbs, iters=2, corr_mode=mode)
+        np.testing.assert_allclose(np.asarray(out.coord_predictions),
+                                   np.asarray(ref.coord_predictions),
+                                   rtol=1e-4, atol=1e-4, err_msg=mode)
+    with pltpu.force_tpu_interpret_mode():
+        out = model.apply(params, xys, rgbs, iters=2, corr_mode="pallas")
+    np.testing.assert_allclose(np.asarray(out.coord_predictions),
+                               np.asarray(ref.coord_predictions),
+                               rtol=1e-4, atol=1e-4, err_msg="pallas")
