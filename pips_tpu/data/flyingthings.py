@@ -109,10 +109,11 @@ class FlyingThingsDataset:
             alt_inds = rng.choice(len(self.occluders), n_occ, replace=False)
             for alt_ind in alt_inds:
                 occ_rgb_dir, occ_mask_dir, occ_start, occ_fn = self.occluders[alt_ind]
-                img_names = self._frame_names(occ_rgb_dir, occ_start)
+                # truncate occluder clips to the (possibly subsampled) S
+                img_names = self._frame_names(occ_rgb_dir, occ_start)[:S]
                 occ_info = np.load(occ_fn, allow_pickle=True).item()
                 id_str = list(occ_info.keys())[rng.choice(len(occ_info))]
-                alt_trajs = np.asarray(occ_info[id_str], np.float32)
+                alt_trajs = np.asarray(occ_info[id_str], np.float32)[:S]
                 occ_id = int(id_str)
 
                 alt_rgbs, alt_masks, alt_masks_blur = [], [], []
@@ -165,6 +166,8 @@ class FlyingThingsDataset:
             return None, False
 
         img_names = self._frame_names(rgb_dir, start_ind)
+        if len(img_names) < self.S_load:  # clip too short for this window
+            return None, False
         rgbs, masks = [], []
         for img_name in img_names:
             rgbs.append(_load_webp(os.path.join(rgb_dir, img_name + ".webp")))

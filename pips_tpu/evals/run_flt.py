@@ -24,23 +24,73 @@ from pips_tpu.utils import SimplePool
 from pips_tpu.utils.logging import MetricWriter
 
 
+def _build_tracker(modeltype: str, init_dir: str, S: int, stride: int, iters: int,
+                   crop_size=(384, 512)):
+    """Returns fn(trajs_g0 (1,N,2), rgbs (1,S,H,W,3)) -> trajs_e (1,S,N,2)."""
+    if modeltype == "pips":
+        model = Pips(S=S, stride=stride)
+        params = load_params(model, init_dir)
+
+        @jax.jit
+        def fwd(xys, rgbs):
+            out = model.apply(params, xys, rgbs, iters=iters, is_train=False,
+                              use_fused_corr=True)
+            return out.coord_predictions[-1]
+
+        return lambda xys, rgbs: np.asarray(fwd(jnp.asarray(xys), jnp.asarray(rgbs)))
+
+    if modeltype == "raft":
+        from pips_tpu.inference.flow_chain import FlowChainTracker
+        from pips_tpu.models.raft import RAFT
+        from pips_tpu.torchport.convert import convert_raft_state_dict
+        import torch
+
+        sd = torch.load(init_dir, map_location="cpu", weights_only=False)
+        variables = convert_raft_state_dict(
+            {k: v.numpy() for k, v in sd.items()})
+        raft = RAFT()
+
+        @jax.jit
+        def flow_fn(rgb0, rgb1):
+            _, flow_up = raft.apply(variables, (rgb0 + 0.5) * 255.0,
+                                    (rgb1 + 0.5) * 255.0, iters=32)
+            return flow_up
+
+        tracker = FlowChainTracker(flow_fn)
+        return lambda xys, rgbs: tracker.track(rgbs, xys)
+
+    if modeltype == "dino":
+        # init_dir: a local ViT-S/8 DINO checkpoint (the reference pulls it
+        # from torch.hub, test_on_flt.py:245-248)
+        from pips_tpu.models.dino import DinoTracker
+        from pips_tpu.torchport.convert import convert_dino_vit_state_dict
+        import torch
+
+        patch = 8
+        sd = torch.load(init_dir, map_location="cpu", weights_only=False)
+        if isinstance(sd, dict) and "state_dict" in sd:
+            sd = sd["state_dict"]
+        sd = {k: v.numpy() for k, v in sd.items()}
+        variables = convert_dino_vit_state_dict(
+            sd, grid_hw=(crop_size[0] // patch, crop_size[1] // patch))
+        tracker = DinoTracker(DinoTracker.make_vit_feat_fn(variables, patch),
+                              patch_size=patch)
+        return lambda xys, rgbs: tracker.track(rgbs[0], xys[0])[None]
+
+    raise ValueError(f"unknown modeltype {modeltype!r}")
+
+
 def main(init_dir: str = "checkpoints/ref", dataset_location: str = "/data/flyingthings",
          S: int = 8, N: int = 16, stride: int = 8, iters: int = 6,
          crop_size=(384, 512), max_iters: int = 0, log_dir: str = "logs_test_on_flt",
-         subset: str = "all", shuffle: bool = True):
-    model = Pips(S=S, stride=stride)
-    params = load_params(model, init_dir)
+         subset: str = "all", shuffle: bool = True, modeltype: str = "pips"):
+    tracker = _build_tracker(modeltype, init_dir, S, stride, iters,
+                             crop_size=tuple(crop_size))
 
     dataset = FlyingThingsDataset(
         dataset_location=dataset_location, dset="TEST", subset=subset,
         use_augs=False, N=N, S=S, crop_size=tuple(crop_size))
     max_iters = max_iters or len(dataset)
-
-    @jax.jit
-    def fwd(params, xys, rgbs):
-        out = model.apply(params, xys, rgbs, iters=iters, is_train=False,
-                          use_fused_corr=True)
-        return out.coord_predictions[-1], out.vis_e
 
     writer = MetricWriter(log_dir)
     pools = {k: SimplePool(10000) for k in ("ate_all", "ate_vis", "ate_occ")}
@@ -60,8 +110,7 @@ def main(init_dir: str = "checkpoints/ref", dataset_location: str = "/data/flyin
         vis_g = per_seq_vis_label(sample["visibles"][None], min_frames=4)
 
         t0 = time.time()
-        trajs_e, vis_e = fwd(params, jnp.asarray(trajs_g[:, 0]), jnp.asarray(rgbs))
-        trajs_e = np.asarray(trajs_e)
+        trajs_e = tracker(trajs_g[:, 0], rgbs)
         m = ate_metrics(trajs_e, trajs_g, valids, vis_g)
         for k, p in pools.items():
             if m[k] > 0:

@@ -158,6 +158,66 @@ def convert_raft_state_dict(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
     return {"params": params, "batch_stats": stats}
 
 
+def convert_dino_vit_state_dict(sd: Mapping[str, np.ndarray], grid_hw=None,
+                                dim: int = 384, heads: int = 6,
+                                depth: int = 12) -> Dict[str, Any]:
+    """DINO ViT (facebookresearch/dino hub) state_dict -> flax params for
+    ``pips_tpu.models.dino.ViT``. ``grid_hw``: target patch-grid (h, w) for
+    pos-embed interpolation (DINO trains at 28x28 for ViT-S/8)."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    head_dim = dim // heads
+
+    params: Dict[str, Any] = {
+        "patch_embed": {
+            "kernel": np.transpose(sd["patch_embed.proj.weight"], (2, 3, 1, 0)),
+            "bias": sd["patch_embed.proj.bias"],
+        },
+        "cls_token": sd["cls_token"],
+        "norm": _ln(sd["norm.weight"], sd["norm.bias"]),
+    }
+
+    pos = sd["pos_embed"]  # (1, 1+n, dim)
+    if grid_hw is not None:
+        n = pos.shape[1] - 1
+        side = int(round(n ** 0.5))
+        grid = pos[:, 1:].reshape(1, side, side, dim)
+        import jax
+        import jax.numpy as jnp
+        grid = np.asarray(jax.image.resize(
+            jnp.asarray(grid), (1, grid_hw[0], grid_hw[1], dim), method="cubic"))
+        pos = np.concatenate([pos[:, :1], grid.reshape(1, -1, dim)], axis=1)
+    params["pos_embed"] = pos
+
+    for d in range(depth):
+        p = f"blocks.{d}"
+        qkv_w = sd[f"{p}.attn.qkv.weight"]  # (3*dim, dim)
+        qkv_b = sd[f"{p}.attn.qkv.bias"]
+        qw, kw, vw = np.split(qkv_w, 3, axis=0)
+        qb, kb, vb = np.split(qkv_b, 3, axis=0)
+
+        def head_proj(w, b):
+            return {"kernel": np.ascontiguousarray(w.T).reshape(dim, heads, head_dim),
+                    "bias": b.reshape(heads, head_dim)}
+
+        params[f"block{d}"] = {
+            "norm1": _ln(sd[f"{p}.norm1.weight"], sd[f"{p}.norm1.bias"]),
+            "attn": {
+                "query": head_proj(qw, qb),
+                "key": head_proj(kw, kb),
+                "value": head_proj(vw, vb),
+                "out": {
+                    "kernel": np.ascontiguousarray(
+                        sd[f"{p}.attn.proj.weight"].T).reshape(heads, head_dim, dim),
+                    "bias": sd[f"{p}.attn.proj.bias"],
+                },
+            },
+            "norm2": _ln(sd[f"{p}.norm2.weight"], sd[f"{p}.norm2.bias"]),
+            "fc1": _dense(sd[f"{p}.mlp.fc1.weight"], sd[f"{p}.mlp.fc1.bias"]),
+            "fc2": _dense(sd[f"{p}.mlp.fc2.weight"], sd[f"{p}.mlp.fc2.bias"]),
+        }
+    return {"params": params}
+
+
 def load_torch_checkpoint(path: str, mixer_depth: int = 12) -> Dict[str, Any]:
     """Load a reference ``model-*.pth`` checkpoint file into flax params.
 
