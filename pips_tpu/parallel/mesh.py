@@ -36,8 +36,9 @@ def make_mesh(shape: Optional[Sequence[int]] = None,
     devices = list(devices if devices is not None else jax.devices())
     if shape is None:
         shape = (len(devices), 1)
-    assert int(np.prod(shape)) == len(devices), (shape, len(devices))
-    dev_array = mesh_utils.create_device_mesh(tuple(shape), devices=devices)
+    n = int(np.prod(shape))
+    assert n <= len(devices), (shape, len(devices))
+    dev_array = mesh_utils.create_device_mesh(tuple(shape), devices=devices[:n])
     return Mesh(dev_array, (DATA_AXIS, POINT_AXIS))
 
 

@@ -24,6 +24,12 @@ class TrainConfig:
     vert_flip: bool = True
     stride: int = 8
     I: int = 4
+    # model dims (defaults = reference hyps, nets/pips.py:407-410)
+    latent_dim: int = 128
+    corr_levels: int = 4
+    corr_radius: int = 3
+    mixer_dim: int = 512
+    mixer_depth: int = 12
     crop_size: Sequence[int] = (384, 512)
     use_augs: bool = True
     # dataset
@@ -84,7 +90,7 @@ def _coerce(value: str, typ):
         return int(value)
     if typ is float:
         return float(value)
-    if "Sequence" in str(typ) or "tuple" in str(typ).lower():
+    if typ is tuple:
         return tuple(int(v) for v in value.strip("()[] ").split(",") if v)
     return value
 
@@ -114,9 +120,12 @@ def parse_cli(argv: Sequence[str], cfg: Optional[TrainConfig] = None) -> TrainCo
             raise SystemExit(f"unknown config field: --{key}; valid: {sorted(fields)}")
         f = fields[key]
         typ = f.type if f.type is not None else str
-        if isinstance(typ, str):
-            typ = {"int": int, "float": float, "bool": bool, "str": str}.get(
-                typ.split("[")[0].strip(), str)
+        if isinstance(typ, str):  # `from __future__ import annotations` strings
+            base = typ.split("[")[0].strip()
+            if base == "Optional":
+                base = typ.split("[", 1)[1].rstrip("]").split("[")[0].strip()
+            typ = {"int": int, "float": float, "bool": bool, "str": str,
+                   "Sequence": tuple, "tuple": tuple, "list": tuple}.get(base, str)
         updates[key] = _coerce(value, typ)
         i += 1
     return dataclasses.replace(cfg, **updates)

@@ -66,7 +66,9 @@ def train(cfg: Optional[TrainConfig] = None) -> dict:
     print("model_name", name)
 
     mesh = make_mesh(cfg.mesh_shape)
-    model = Pips(S=cfg.S, stride=cfg.stride)
+    model = Pips(S=cfg.S, stride=cfg.stride, latent_dim=cfg.latent_dim,
+                 corr_levels=cfg.corr_levels, corr_radius=cfg.corr_radius,
+                 mixer_dim=cfg.mixer_dim, mixer_depth=cfg.mixer_depth)
     state = init_state(cfg, model)
 
     ckpt_dir = f"{cfg.ckpt_dir}/{name}"

@@ -1,8 +1,10 @@
-"""Compare corr execution paths on the real chip (davis-style config).
+"""Compare corr execution paths on the real chip with chained-dependency
+timing (naive independent repeats overlap/cache on tunneled platforms).
 
-Run from repo root: python tools/profile_corr_modes.py [--dense]
+Run from repo root: python tools/profile_corr_modes.py [--dense] [--small]
 """
 
+import functools
 import sys
 import time
 
@@ -16,47 +18,61 @@ sys.path.insert(0, ".")
 from pips_tpu.models import Pips  # noqa: E402
 
 
-def timeit(fn, *args, reps=10):
-    out = fn(*args)
-    jax.block_until_ready(out)
+def chain_time(step_fn, carry0, reps=6):
+    """(time(scan n=reps+1) - time(scan n=1)) / reps."""
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def run(c0, n):
+        def body(c, _):
+            return step_fn(c), None
+        c, _ = jax.lax.scan(body, c0, None, length=n)
+        return jax.tree.map(jnp.sum, c)
+
+    jax.block_until_ready(run(carry0, 1))
     t0 = time.time()
-    for _ in range(reps):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.time() - t0) / reps
+    jax.block_until_ready(run(carry0, 1))
+    t1 = time.time() - t0
+    jax.block_until_ready(run(carry0, reps + 1))  # compile n=reps+1
+    t0 = time.time()
+    jax.block_until_ready(run(carry0, reps + 1))
+    tn = time.time() - t0
+    return max(tn - t1, 1e-9) / reps
 
 
 def main():
     dense = "--dense" in sys.argv
+    small = "--small" in sys.argv
     model = Pips(S=8, stride=8)
     rng = np.random.RandomState(0)
-    Hi, Wi = 480, 1024
+    Hi, Wi = (360, 640) if small else (480, 1024)
     N = 7680 if dense else 256
     rgbs = jnp.asarray(rng.rand(1, 8, Hi, Wi, 3) * 255, jnp.float32)
-    xys = jnp.asarray(rng.rand(1, N, 2) * [Wi - 8, Hi - 8] + 4, jnp.float32)
-    params = model.init(jax.random.PRNGKey(0), xys[:, :8], rgbs[:, :, :64, :64],
+    xys0 = jnp.asarray(rng.rand(1, N, 2) * [Wi - 8, Hi - 8] + 4, jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), xys0[:, :8], rgbs[:, :, :64, :64],
                         iters=1)
+    lims = jnp.asarray([Wi - 8.0, Hi - 8.0])
 
-    encode = jax.jit(lambda p, r: model.apply(p, r, method=Pips.encode))
-    fmaps = encode(params, rgbs)
-    print(f"encode: {timeit(encode, params, rgbs) * 1e3:.2f} ms")
+    # encoder: chain on rgbs
+    def enc_step(r):
+        fm = model.apply(params, r, method=Pips.encode)
+        return r + jnp.mean(fm) * 1e-12
 
-    outs = {}
-    for mode in ("full", "fused", "onehot", "pallas"):
-        track = jax.jit(lambda p, f, x, m=mode: model.apply(
-            p, f, x, iters=6, is_train=False, corr_mode=m,
-            method=Pips.track).coord_predictions[-1])
+    t_enc = chain_time(enc_step, rgbs, reps=4)
+    print(f"encode: {t_enc * 1e3:.2f} ms")
+
+    fmaps = jax.jit(lambda p, r: model.apply(p, r, method=Pips.encode))(params, rgbs)
+
+    for mode in ("full", "onehot", "pallas", "fused"):
+        def track_step(xys, m=mode):
+            out = model.apply(params, fmaps, xys, iters=6, is_train=False,
+                              corr_mode=m, method=Pips.track)
+            trajs = out.coord_predictions[-1]
+            return jnp.clip(trajs[:, -1] * 0.99 + 1.0, 8.0, lims)
+
         try:
-            t = timeit(track, params, fmaps, xys, reps=5)
-            outs[mode] = np.asarray(track(params, fmaps, xys))
-            print(f"corr_mode={mode:7s}: track {t * 1e3:.2f} ms "
-                  f"({N * 8 / t:.0f} pf/s)")
+            t = chain_time(track_step, xys0, reps=4)
+            print(f"corr_mode={mode:7s}: track {t * 1e3:.2f} ms ({N * 8 / t:.0f} pf/s)")
         except Exception as e:
-            print(f"corr_mode={mode}: FAILED {type(e).__name__}: {str(e)[:300]}")
-    ref = outs.get("full")
-    for mode, v in outs.items():
-        if ref is not None and mode != "full":
-            print(f"  {mode} max|Δ| vs full: {np.abs(v - ref).max():.2e}")
+            print(f"corr_mode={mode}: FAILED {type(e).__name__}: {str(e)[:200]}")
 
 
 if __name__ == "__main__":
