@@ -80,7 +80,7 @@ def main(quick: bool = False):
         def body(xys, _):
             r = rgbs + xys[0, 0, 0] * 1e-12
             out = model.apply(params, xys, r, iters=infer_iters, is_train=False,
-                              use_fused_corr=True)
+                              corr_mode="onehot")
             trajs = out.coord_predictions[-1]
             nxt = jnp.clip(trajs[:, -1] * 0.99 + 1.0, 8.0, lims)
             return nxt, jnp.mean(out.vis_e)

@@ -35,7 +35,7 @@ def main(init_dir: str = "checkpoints/ref", dataset_root: str = "/data/head_trac
     @jax.jit
     def fwd(params, xys, rgbs):
         out = model.apply(params, xys, rgbs, iters=iters, is_train=False,
-                          use_fused_corr=True)
+                          corr_mode="onehot")
         return out.coord_predictions[-1], out.vis_e
 
     pools = {k: SimplePool(10000) for k in ("ate_all", "ate_vis", "ate_occ")}

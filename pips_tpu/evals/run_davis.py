@@ -35,7 +35,7 @@ def main(init_dir: str = "checkpoints/ref", davis_dir: str = "/data/davis",
     @jax.jit
     def fwd(params, xys, rgbs):
         out = model.apply(params, xys, rgbs, iters=iters, is_train=False,
-                          use_fused_corr=True)
+                          corr_mode="onehot")
         return out.coord_predictions[-1], out.vis_e
 
     import imageio.v2 as imageio

@@ -34,7 +34,7 @@ def _build_tracker(modeltype: str, init_dir: str, S: int, stride: int, iters: in
         @jax.jit
         def fwd(xys, rgbs):
             out = model.apply(params, xys, rgbs, iters=iters, is_train=False,
-                              use_fused_corr=True)
+                              corr_mode="onehot")
             return out.coord_predictions[-1]
 
         return lambda xys, rgbs: np.asarray(fwd(jnp.asarray(xys), jnp.asarray(rgbs)))

@@ -62,13 +62,15 @@ class ChainTracker:
     """Track N points through a T-frame video by chaining S-frame windows."""
 
     def __init__(self, model: Pips, params, iters: int = 6, capacity: int = 256,
-                 use_fused_corr: bool = True, encode_chunk: int = 8):
+                 corr_mode: str = "onehot", encode_chunk: int = 8,
+                 select_fn=None):
         self.model = model
         self.S = model.S
         self.capacity = capacity
         self.encode_chunk = encode_chunk
+        self.select_fn = select_fn or select_skip
         self.tracker = WindowTracker(model, params, iters=iters,
-                                     use_fused_corr=use_fused_corr)
+                                     corr_mode=corr_mode)
 
     def encode_video(self, rgbs: np.ndarray) -> jnp.ndarray:
         """rgbs: (T, H, W, 3) -> fmaps (T, H8, W8, C), chunked fixed-shape jits."""
@@ -144,7 +146,7 @@ class ChainTracker:
 
                 if t + 1 >= T:
                     continue
-                skips = select_skip(vis_p.T, S=S)  # (K,)
+                skips = self.select_fn(vis_p.T, S=S)  # (K,)
                 for j, n in enumerate(group):
                     nxt = t + int(skips[j])
                     if nxt < T:

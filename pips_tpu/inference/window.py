@@ -35,7 +35,10 @@ class WindowTracker:
     """Jitted forward over one S-frame window."""
 
     def __init__(self, model: Pips, params, iters: int = 6,
-                 use_fused_corr: bool = True, dtype=jnp.float32):
+                 corr_mode: str = "onehot", use_fused_corr: bool | None = None,
+                 dtype=jnp.float32):
+        if use_fused_corr is not None:  # back-compat
+            corr_mode = "fused" if use_fused_corr else "full"
         self.model = model
         self.params = params
         self.iters = iters
@@ -44,7 +47,7 @@ class WindowTracker:
         @functools.partial(jax.jit, static_argnames=())
         def _fwd(params, xys, rgbs):
             out = model.apply(params, xys, rgbs, iters=iters, is_train=False,
-                              use_fused_corr=use_fused_corr)
+                              corr_mode=corr_mode)
             return out.coord_predictions[-1], out.vis_e
 
         self._fwd = _fwd
@@ -59,13 +62,13 @@ class WindowTracker:
         def _track(params, fmaps, xys, feat_init):
             out = model.apply(params, fmaps, xys, feat_init=feat_init,
                               iters=iters, is_train=False,
-                              use_fused_corr=use_fused_corr, method=Pips.track)
+                              corr_mode=corr_mode, method=Pips.track)
             return out.coord_predictions[-1], out.vis_e, out.ffeat
 
         @jax.jit
         def _track_nofeat(params, fmaps, xys):
             out = model.apply(params, fmaps, xys, iters=iters, is_train=False,
-                              use_fused_corr=use_fused_corr, method=Pips.track)
+                              corr_mode=corr_mode, method=Pips.track)
             return out.coord_predictions[-1], out.vis_e, out.ffeat
 
         self._track = _track

@@ -10,6 +10,7 @@ from pips_tpu.ops.reduce import normalize, reduce_masked_mean
 from pips_tpu.ops.samp import bilinear_sample2d, grid_sample_zeros
 from pips_tpu.ops.resize import avg_pool2x2, resize_bilinear_align_corners
 from pips_tpu.ops.corr import build_fmap_pyramid, corr_pyramid, sample_corr_pyramid
+from pips_tpu.ops.fps import farthest_point_sample, farthest_point_sample_py
 
 __all__ = [
     "avg_pool2x2",
@@ -17,6 +18,8 @@ __all__ = [
     "build_fmap_pyramid",
     "coords_grid",
     "corr_pyramid",
+    "farthest_point_sample",
+    "farthest_point_sample_py",
     "get_3d_embedding",
     "grid_sample_zeros",
     "gridcloud2d",

@@ -84,18 +84,18 @@ def make_sharded_train_step(model, tx: optax.GradientTransformation, mesh: Mesh,
 
 
 def make_sharded_forward(model, mesh: Mesh, iters: int = 6,
-                         use_fused_corr: bool = True):
+                         corr_mode: str = "onehot"):
     """jit eval-mode forward with points sharded over the full mesh.
 
     For inference we fold both mesh axes over N (and replicate the video):
     every chip tracks a slice of the points through the same frames.
     """
     rep = replicate(mesh)
-    point_sh = NamedSharding(mesh, P(None, None, (DATA_AXIS, POINT_AXIS)))
+    point_sh = NamedSharding(mesh, P(None, (DATA_AXIS, POINT_AXIS), None))
 
     def fwd(params, xys, rgbs):
         out = model.apply(params, xys, rgbs, iters=iters, is_train=False,
-                          use_fused_corr=use_fused_corr)
+                          corr_mode=corr_mode)
         return out.coord_predictions[-1], out.vis_e, out.ffeat
 
     return jax.jit(fwd, in_shardings=(rep, point_sh, rep),

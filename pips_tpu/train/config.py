@@ -9,7 +9,7 @@ A dataclass is the config; a tiny fire-like CLI maps ``--key value`` /
 from __future__ import annotations
 
 import dataclasses
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Sequence
 
 

@@ -57,12 +57,13 @@ def video_setup():
     return model, params, rgbs, xys
 
 
-def per_point_chain(model, params, rgbs, xy, iters=2):
+def per_point_chain(model, params, rgbs, xy, iters=2, skip=None):
     """The reference's sequential single-point loop (chain_demo.py:40-83),
-    expressed against our model API, as the semantics oracle."""
+    expressed against our model API, as the semantics oracle.
+    ``skip``: fixed window advance, or None for the visibility rule."""
     T = rgbs.shape[0]
     S = model.S
-    tracker = WindowTracker(model, params, iters=iters, use_fused_corr=True)
+    tracker = WindowTracker(model, params, iters=iters)
     traj = np.zeros((T, 2), np.float32)
     visp = np.zeros(T, np.float32)
     traj[0] = xy
@@ -80,19 +81,29 @@ def per_point_chain(model, params, rgbs, xy, iters=2):
         v = 1.0 / (1.0 + np.exp(-np.asarray(vis[0, :, 0])))
         traj[cur:cur + S_local] = c[:S_local, 0]
         visp[cur:cur + S_local] = v[:S_local]
-        si = reference_select_skip(v, S)
+        si = skip if skip is not None else reference_select_skip(v, S)
         cur += si
         if cur >= T:
             return traj, visp
 
 
 def test_chain_tracker_matches_per_point_loop(video_setup):
+    """With untrained weights, visibility values sit arbitrarily close to the
+    skip thresholds, so fp reassociation between batched and per-point
+    execution flips discrete skip decisions. Inject a fixed skip to make the
+    window plumbing (queries, feat carry, traj stitching) exactly comparable;
+    the skip rule itself is verified against the reference scan above."""
     model, params, rgbs, xys = video_setup
-    chain = ChainTracker(model, params, iters=2, capacity=8)
+
+    def fixed_skip(vis, S):
+        return np.full(vis.shape[0], 3, np.int64)
+
+    chain = ChainTracker(model, params, iters=2, capacity=8, select_fn=fixed_skip)
     trajs, vis = chain.track_video(rgbs, xys)
 
     for n in range(xys.shape[0]):
-        want_traj, want_vis = per_point_chain(model, params, rgbs, xys[n])
+        want_traj, want_vis = per_point_chain(model, params, rgbs, xys[n],
+                                              skip=3)
         np.testing.assert_allclose(trajs[:, n], want_traj, rtol=1e-3, atol=1e-3)
         np.testing.assert_allclose(vis[:, n], want_vis, rtol=1e-3, atol=1e-3)
 
