@@ -87,7 +87,8 @@ def main(quick: bool = False):
         xys_f, vs = jax.lax.scan(body, xys0, None, length=n)
         return jnp.sum(xys_f) + jnp.sum(vs)
 
-    jax.block_until_ready(bench_chain(state.params, xys_i, rgbs_i, 1))
+    jax.block_until_ready(bench_chain(state.params, xys_i, rgbs_i, 1))       # compile n=1
+    jax.block_until_ready(bench_chain(state.params, xys_i, rgbs_i, reps + 1))  # compile n=reps+1
     t_base = time.time()
     jax.block_until_ready(bench_chain(state.params, xys_i, rgbs_i, 1))
     t_base = time.time() - t_base
