@@ -15,7 +15,7 @@ Architecture (norm_fn='instance' is what Pips uses):
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax
@@ -31,11 +31,13 @@ def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     """Non-affine instance norm over spatial dims. x: (B, H, W, C).
 
     Parity with torch ``nn.InstanceNorm2d`` defaults (affine=False,
-    track_running_stats=False, eps=1e-5, biased variance).
+    track_running_stats=False, eps=1e-5, biased variance). Statistics are
+    computed in float32 regardless of compute dtype.
     """
-    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-    var = jnp.mean(jnp.square(x - mean), axis=(1, 2), keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps)
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=(1, 2), keepdims=True)
+    return (((xf - mean) * jax.lax.rsqrt(var + eps))).astype(x.dtype)
 
 
 class Conv(nn.Module):
@@ -44,6 +46,7 @@ class Conv(nn.Module):
     kernel: int
     stride: int = 1
     pad: int = 0
+    dtype: Any = None  # compute dtype; params stay float32
 
     @nn.compact
     def __call__(self, x):
@@ -53,6 +56,7 @@ class Conv(nn.Module):
             strides=(self.stride, self.stride),
             padding=((self.pad, self.pad), (self.pad, self.pad)),
             kernel_init=kaiming_out,
+            dtype=self.dtype,
         )(x)
 
 
@@ -63,15 +67,17 @@ class ResidualBlock(nn.Module):
     """
     planes: int
     stride: int = 1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
-        y = Conv(self.planes, 3, self.stride, 1, name="conv1")(x)
+        y = Conv(self.planes, 3, self.stride, 1, dtype=self.dtype, name="conv1")(x)
         y = nn.relu(instance_norm(y))
-        y = Conv(self.planes, 3, 1, 1, name="conv2")(y)
+        y = Conv(self.planes, 3, 1, 1, dtype=self.dtype, name="conv2")(y)
         y = nn.relu(instance_norm(y))
         if self.stride != 1:
-            x = Conv(self.planes, 1, self.stride, 0, name="downsample")(x)
+            x = Conv(self.planes, 1, self.stride, 0, dtype=self.dtype,
+                     name="downsample")(x)
             x = instance_norm(x)
         return nn.relu(x + y)
 
@@ -81,25 +87,28 @@ class BasicEncoder(nn.Module):
     output_dim: int = 128
     stride: int = 8
     stage_dims: Sequence[int] = (64, 96, 128, 128)
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         """x: (B, H, W, 3) -> (B, H//stride, W//stride, output_dim)."""
         H, W = x.shape[1], x.shape[2]
         out_hw = (H // self.stride, W // self.stride)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
 
-        x = Conv(self.stage_dims[0], 7, 2, 3, name="conv1")(x)
+        x = Conv(self.stage_dims[0], 7, 2, 3, dtype=self.dtype, name="conv1")(x)
         x = nn.relu(instance_norm(x))
 
         feats = []
         for i, dim in enumerate(self.stage_dims):
             stride = 1 if i == 0 else 2
-            x = ResidualBlock(dim, stride, name=f"layer{i + 1}_0")(x)
-            x = ResidualBlock(dim, 1, name=f"layer{i + 1}_1")(x)
+            x = ResidualBlock(dim, stride, dtype=self.dtype, name=f"layer{i + 1}_0")(x)
+            x = ResidualBlock(dim, 1, dtype=self.dtype, name=f"layer{i + 1}_1")(x)
             feats.append(resize_bilinear_align_corners(x, out_hw))
 
         x = jnp.concatenate(feats, axis=-1)
-        x = Conv(self.output_dim * 2, 3, 1, 1, name="conv2")(x)
+        x = Conv(self.output_dim * 2, 3, 1, 1, dtype=self.dtype, name="conv2")(x)
         x = nn.relu(instance_norm(x))
-        x = Conv(self.output_dim, 1, 1, 0, name="conv3")(x)
+        x = Conv(self.output_dim, 1, 1, 0, dtype=self.dtype, name="conv3")(x)
         return x

@@ -12,13 +12,18 @@ exact (erf) variant to match torch ``nn.GELU`` defaults.
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
 from pips_tpu.ops.embed import get_3d_embedding
 
-LN = lambda name: nn.LayerNorm(epsilon=1e-5, name=name)  # torch LayerNorm eps
+def LN(name):
+    """LayerNorm with torch eps; statistics always in float32."""
+    inner = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=name)
+    return lambda x: inner(x.astype(jnp.float32))
 
 
 def gelu(x):
@@ -29,13 +34,14 @@ class TokenMixFF(nn.Module):
     """FeedForward across the token (S) axis: Dense(S->S*f) -> GELU -> Dense(->S)."""
     tokens: int
     expansion: int = 4
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):  # x: (B, S, D)
         x = jnp.swapaxes(x, 1, 2)  # (B, D, S)
-        x = nn.Dense(self.tokens * self.expansion, name="fc1")(x)
+        x = nn.Dense(self.tokens * self.expansion, dtype=self.dtype, name="fc1")(x)
         x = gelu(x)
-        x = nn.Dense(self.tokens, name="fc2")(x)
+        x = nn.Dense(self.tokens, dtype=self.dtype, name="fc2")(x)
         return jnp.swapaxes(x, 1, 2)
 
 
@@ -43,12 +49,13 @@ class ChannelMixFF(nn.Module):
     """FeedForward across channels: Dense(D->D*f) -> GELU -> Dense(->D)."""
     dim: int
     expansion: int = 4
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):  # (B, S, D)
-        x = nn.Dense(self.dim * self.expansion, name="fc1")(x)
+        x = nn.Dense(self.dim * self.expansion, dtype=self.dtype, name="fc1")(x)
         x = gelu(x)
-        x = nn.Dense(self.dim, name="fc2")(x)
+        x = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
         return x
 
 
@@ -60,18 +67,24 @@ class MLPMixer(nn.Module):
     output_dim: int
     depth: int
     expansion: int = 4
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.dim, name="embed")(x)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        x = nn.Dense(self.dim, dtype=self.dtype, name="embed")(x)
         for d in range(self.depth):
-            x = x + TokenMixFF(self.S, self.expansion, name=f"block{d}_token")(
-                LN(f"block{d}_token_norm")(x))
-            x = x + ChannelMixFF(self.dim, self.expansion, name=f"block{d}_chan")(
-                LN(f"block{d}_chan_norm")(x))
+            # LayerNorm statistics in float32; FF compute in self.dtype
+            x = x + TokenMixFF(self.S, self.expansion, dtype=self.dtype,
+                               name=f"block{d}_token")(
+                LN(f"block{d}_token_norm")(x).astype(x.dtype))
+            x = x + ChannelMixFF(self.dim, self.expansion, dtype=self.dtype,
+                                 name=f"block{d}_chan")(
+                LN(f"block{d}_chan_norm")(x).astype(x.dtype))
         x = LN("final_norm")(x)
         x = jnp.mean(x, axis=1)  # (B, dim)
-        return nn.Dense(self.output_dim, name="head")(x)
+        return nn.Dense(self.output_dim, dtype=self.dtype, name="head")(x)
 
 
 class DeltaBlock(nn.Module):
@@ -86,6 +99,7 @@ class DeltaBlock(nn.Module):
     S: int = 8
     mixer_dim: int = 512
     mixer_depth: int = 12
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, fhid: jnp.ndarray, fcorr: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
@@ -101,6 +115,7 @@ class DeltaBlock(nn.Module):
             dim=self.mixer_dim,
             output_dim=self.S * (self.latent_dim + 2),
             depth=self.mixer_depth,
+            dtype=self.dtype,
             name="to_delta",
         )(x)
         return delta.reshape(Bn, self.S, self.latent_dim + 2)

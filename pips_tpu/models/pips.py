@@ -19,7 +19,7 @@ TPU-first structure:
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import Any, NamedTuple, Optional
 
 import flax.linen as nn
 import jax
@@ -48,9 +48,12 @@ class Pips(nn.Module):
     corr_radius: int = 3
     mixer_dim: int = 512
     mixer_depth: int = 12
+    dtype: Any = None  # compute dtype (e.g. jnp.bfloat16); params stay float32.
+                       # Coordinates, norms, and corr accumulation remain f32.
 
     def setup(self):
-        self.fnet = BasicEncoder(output_dim=self.latent_dim, stride=self.stride)
+        self.fnet = BasicEncoder(output_dim=self.latent_dim, stride=self.stride,
+                                 dtype=self.dtype)
         self.delta_block = DeltaBlock(
             latent_dim=self.latent_dim,
             corr_levels=self.corr_levels,
@@ -58,6 +61,7 @@ class Pips(nn.Module):
             S=self.S,
             mixer_dim=self.mixer_dim,
             mixer_depth=self.mixer_depth,
+            dtype=self.dtype,
         )
         # GroupNorm(1, C) on (B*, C) == LayerNorm over C with affine, eps 1e-5
         self.ffeat_norm = nn.LayerNorm(epsilon=1e-5)
@@ -151,9 +155,13 @@ class Pips(nn.Module):
 
             ffeats_flat = ffeats_.reshape(B * N * S, C)
             ffeats_flat = gelu(self.ffeat_updater(self.ffeat_norm(delta_feats_))) + ffeats_flat
-            ffeats = jnp.swapaxes(ffeats_flat.reshape(B, N, S, C), 1, 2)
+            # keep features in the compute dtype so the next iteration's corr
+            # runs on native-MXU inputs
+            ffeats = jnp.swapaxes(
+                ffeats_flat.astype(fmaps.dtype).reshape(B, N, S, C), 1, 2)
 
-            coords = coords + jnp.swapaxes(delta_coords_.reshape(B, N, S, 2), 1, 2)
+            coords = coords + jnp.swapaxes(
+                delta_coords_.astype(jnp.float32).reshape(B, N, S, 2), 1, 2)
 
             if not is_train:
                 coords = coords.at[:, 0].set(coords_bak[:, 0])  # lock query frame
@@ -161,7 +169,8 @@ class Pips(nn.Module):
             coord_predictions.append(coords * self.stride)
             coord_predictions2.append(coords * self.stride)
 
-        vis_e = self.vis_predictor(ffeats.reshape(B * S * N, C)).reshape(B, S, N)
+        vis_e = self.vis_predictor(
+            ffeats.reshape(B * S * N, C).astype(jnp.float32)).reshape(B, S, N)
 
         coord_predictions2.append(coords * self.stride)
         coord_predictions2.append(coords * self.stride)

@@ -51,11 +51,13 @@ def corr_pyramid(pyramid: list[jnp.ndarray], targets: jnp.ndarray) -> list[jnp.n
     """
     C = targets.shape[-1]
     scale = 1.0 / math.sqrt(C)
+    # full-precision passes for f32 inputs (exactness); bf16 is MXU-native
+    prec = (jax.lax.Precision.HIGHEST if targets.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
     corrs = []
     for fm in pyramid:
         c = jnp.einsum("bsnc,bshwc->bsnhw", targets, fm,
-                       preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
+                       preferred_element_type=jnp.float32, precision=prec)
         corrs.append(c * scale)
     return corrs
 
@@ -132,9 +134,11 @@ def fused_corr_sample(pyramid: list[jnp.ndarray], targets: jnp.ndarray,
         patch = patch * valid[..., None].astype(patch.dtype)
 
         # integer score patch g[a, b] = corr at (y0-r+a, x0-r+b)
+        prec = (jax.lax.Precision.HIGHEST if targets.dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT)
         g = jnp.einsum("bsnghc,bsnc->bsngh", patch, targets,
                        preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST) * scale  # (B,S,N,G,G)
+                       precision=prec) * scale  # (B,S,N,G,G)
 
         interp = ((1 - wy) * (1 - wx) * g[..., 0:P, 0:P]
                   + (1 - wy) * wx * g[..., 0:P, 1:G]

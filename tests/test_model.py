@@ -99,3 +99,21 @@ def test_corr_modes_equivalent(small_model):
     np.testing.assert_allclose(np.asarray(out.coord_predictions),
                                np.asarray(ref.coord_predictions),
                                rtol=1e-4, atol=1e-4, err_msg="pallas")
+
+
+def test_bfloat16_forward_close_to_fp32(small_model):
+    import jax.numpy as jnp
+
+    model, params, xys, rgbs = small_model
+    # single refinement iteration: with random (untrained) weights the
+    # iteration map is non-contractive, so multi-iter bf16-vs-f32 drift is
+    # unbounded; one step bounds the per-step rounding error
+    out32 = model.apply(params, xys, rgbs, iters=1, corr_mode="onehot")
+    model16 = Pips(S=4, stride=8, latent_dim=16, corr_levels=3, corr_radius=2,
+                   mixer_dim=32, mixer_depth=2, dtype=jnp.bfloat16)
+    out16 = model16.apply(params, xys, rgbs, iters=1, corr_mode="onehot")
+    assert out16.coord_predictions.dtype == jnp.float32  # coords stay f32
+    d = np.abs(np.asarray(out16.coord_predictions[-1])
+               - np.asarray(out32.coord_predictions[-1]))
+    assert d.max() < 0.5, d.max()
+    assert np.median(d) < 0.1
