@@ -87,15 +87,35 @@ def main(quick: bool = False):
         xys_f, vs = jax.lax.scan(body, xys0, None, length=n)
         return jnp.sum(xys_f) + jnp.sum(vs)
 
-    jax.block_until_ready(bench_chain(state.params, xys_i, rgbs_i, 1))       # compile n=1
-    jax.block_until_ready(bench_chain(state.params, xys_i, rgbs_i, reps + 1))  # compile n=reps+1
-    t_base = time.time()
-    jax.block_until_ready(bench_chain(state.params, xys_i, rgbs_i, 1))
-    t_base = time.time() - t_base
-    t0 = time.time()
-    jax.block_until_ready(bench_chain(state.params, xys_i, rgbs_i, reps + 1))
-    infer_time = max(time.time() - t0 - t_base, 1e-9) / reps
+    def time_chain(chain_fn):
+        jax.block_until_ready(chain_fn(state.params, xys_i, rgbs_i, 1))
+        jax.block_until_ready(chain_fn(state.params, xys_i, rgbs_i, reps + 1))
+        t0 = time.time()
+        jax.block_until_ready(chain_fn(state.params, xys_i, rgbs_i, 1))
+        t_base = time.time() - t0
+        t0 = time.time()
+        jax.block_until_ready(chain_fn(state.params, xys_i, rgbs_i, reps + 1))
+        return max(time.time() - t0 - t_base, 1e-9) / reps
+
+    infer_time = time_chain(bench_chain)
     infer_tps = Ni * S / infer_time
+
+    model_bf16 = Pips(S=S, stride=8, dtype=jnp.bfloat16)
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def bench_chain_bf16(params, xys0, rgbs, n):
+        def body(xys, _):
+            r = rgbs + xys[0, 0, 0] * 1e-12
+            out = model_bf16.apply(params, xys, r, iters=infer_iters,
+                                   is_train=False, corr_mode="onehot")
+            trajs = out.coord_predictions[-1]
+            nxt = jnp.clip(trajs[:, -1] * 0.99 + 1.0, 8.0, lims)
+            return nxt, jnp.mean(out.vis_e)
+        xys_f, vs = jax.lax.scan(body, xys0, None, length=n)
+        return jnp.sum(xys_f) + jnp.sum(vs)
+
+    infer_time_bf16 = time_chain(bench_chain_bf16)
+    infer_tps_bf16 = Ni * S / infer_time_bf16
 
     print(json.dumps({
         "metric": "train_points_frames_per_sec",
@@ -107,6 +127,8 @@ def main(quick: bool = False):
             "compile_time_s": round(compile_time, 1),
             "inference_points_frames_per_sec": round(infer_tps, 1),
             "inference_window_time_s": round(infer_time, 4),
+            "inference_bf16_points_frames_per_sec": round(infer_tps_bf16, 1),
+            "inference_bf16_window_time_s": round(infer_time_bf16, 4),
             "device": str(jax.devices()[0]),
         },
     }))

@@ -16,12 +16,20 @@ from pips_tpu.models import Pips
 
 def load_params(model: Pips, init_dir: str, example_hw=(64, 96)):
     """Load params from a pips_tpu checkpoint dir, a reference ``model-*.pth``
-    file/dir (via the torch port), or raise with guidance."""
+    file/dir (via the torch port), or ``"random"`` for a fresh init (smoke
+    runs); raises with guidance otherwise."""
     import glob
 
     import jax.numpy as jnp
 
     from pips_tpu.utils import saverloader
+
+    if init_dir == "random":
+        H, W = example_hw
+        rgbs = jnp.zeros((1, model.S, H, W, 3))
+        xys = jnp.ones((1, 4, 2))
+        print("warning: using randomly initialized weights (smoke mode)")
+        return model.init(jax.random.PRNGKey(0), xys, rgbs, iters=1)
 
     if os.path.isdir(init_dir) and saverloader.list_steps(init_dir):
         H, W = example_hw

@@ -219,3 +219,42 @@ class Summ_writer:
         if not only_return and self.save_this:
             write_gif(self._media_path(name, "gif"), list(frames), fps=self.fps)
         return frames
+
+
+def draw_circles_at_xy(xys: np.ndarray, H: int, W: int, sigma: float = 1.0) -> np.ndarray:
+    """Gaussian blobs at xy positions: (N, 2) -> (N, H, W) float in [0, 1]
+    (reference ``utils/improc.py:draw_circles_at_xy`` capability)."""
+    yy = np.arange(H, dtype=np.float32)[:, None]
+    xx = np.arange(W, dtype=np.float32)[None, :]
+    out = np.empty((len(xys), H, W), np.float32)
+    for n, (x, y) in enumerate(np.asarray(xys, np.float32)):
+        d2 = (yy - y) ** 2 + (xx - x) ** 2
+        out[n] = np.exp(-d2 / (2.0 * sigma ** 2))
+    return out
+
+
+def render_fcp_vis(fcps: np.ndarray, coords: np.ndarray,
+                   trajs_g: Optional[np.ndarray] = None,
+                   stride: int = 8) -> np.ndarray:
+    """Per-iteration score-map heatmaps with estimated (and gt) keypoints
+    overlaid — the host-side analog of the visualization the reference runs
+    INSIDE ``Pips.forward`` (``nets/pips.py:481-497,566-598``); here it
+    consumes ``PipsOutput.fcps`` after the fact, keeping the jitted forward
+    visualization-free.
+
+    fcps: (S, I, H8, W8) score maps for one point; coords: (I, S, 2) pixel
+    coords per iteration. Returns frames (S*I, H8, W8, 3) uint8.
+    """
+    S, I, H8, W8 = fcps.shape
+    frames = []
+    for s in range(S):
+        for i in range(I):
+            heat = oned_to_rgb(fcps[s, i])
+            kp = draw_circles_at_xy(coords[i, s][None] / stride, H8, W8, sigma=1.0)[0]
+            img = heat.astype(np.float32)
+            img[..., 0] = np.clip(img[..., 0] + kp * 255, 0, 255)
+            if trajs_g is not None:
+                kg = draw_circles_at_xy(trajs_g[s][None] / stride, H8, W8, sigma=1.0)[0]
+                img[..., 1] = np.clip(img[..., 1] + kg * 255, 0, 255)
+            frames.append(img.astype(np.uint8))
+    return np.stack(frames)

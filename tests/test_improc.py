@@ -56,3 +56,16 @@ def test_write_gif(tmp_path, rng):
     path = str(tmp_path / "x.gif")
     write_gif(path, frames, fps=4)
     assert os.path.getsize(path) > 0
+
+
+def test_draw_circles_and_fcp_vis(rng):
+    from pips_tpu.utils.improc import draw_circles_at_xy, render_fcp_vis
+    blobs = draw_circles_at_xy(np.array([[3.0, 2.0]]), 8, 10, sigma=1.0)
+    assert blobs.shape == (1, 8, 10)
+    assert blobs[0, 2, 3] == blobs.max()
+
+    fcps = rng.rand(4, 2, 8, 10).astype(np.float32)   # (S, I, H8, W8)
+    coords = rng.rand(2, 4, 2).astype(np.float32) * 64  # (I, S, 2)
+    frames = render_fcp_vis(fcps, coords, stride=8)
+    assert frames.shape == (8, 8, 10, 3)
+    assert frames.dtype == np.uint8
