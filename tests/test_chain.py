@@ -104,11 +104,12 @@ def test_chain_tracker_matches_per_point_loop(video_setup):
     for n in range(xys.shape[0]):
         want_traj, want_vis = per_point_chain(model, params, rgbs, xys[n],
                                               skip=3)
-        # coordinates landing exactly on integer grid lines flip bilinear
-        # cells under fp reassociation (floor discontinuity), so allow a few
-        # entries a small absolute slack while most must match tightly
+        # batched-vs-sequential fp reassociation injects ~1e-6 noise per
+        # window that compounds across chained windows (and can flip a
+        # bilinear cell at integer grid lines); require the first window to
+        # match tightly and later frames to stay within a small pixel bound
         dt = np.abs(trajs[:, n] - want_traj)
-        assert (dt < 1e-2).mean() >= 0.8, dt.max()
+        assert dt[:4].max() < 1e-3, dt[:4].max()
         np.testing.assert_allclose(trajs[:, n], want_traj, atol=0.5)
         np.testing.assert_allclose(vis[:, n], want_vis, atol=0.05)
 
