@@ -96,12 +96,19 @@ def sample_corr_onehot(corrs: list[jnp.ndarray], coords: jnp.ndarray,
 def _corr_sample_kernel(coords_ref, fmap_ref, targets_ref, out_ref, corr_scratch,
                         *, H: int, W: int, C: int, TN: int, radius: int,
                         scale: float):
-    """Grid step (s, n_tile): fmap (H*W, C) and targets (TN, C) in VMEM."""
+    """Grid step (s, n_tile): fmap (H*W, C) and targets (TN, C) in VMEM.
+
+    Mosaic-constraint notes: 3D broadcast-compares, minor-dim reshapes of
+    small tiles, and in-kernel gathers are all rejected by the TPU compiler,
+    so the integer patch is extracted with (G+1)^2 statically-unrolled masked
+    row-reductions over the VMEM score tile — pure 2D iota/compare/reduce
+    (VPU) after one MXU matmul.
+    """
     r = radius
     P = 2 * r + 1
     G = P + 1  # integer patch side
 
-    # MXU: scores for the whole level, kept in VMEM scratch
+    # MXU: scores for the whole level, kept in VMEM scratch (never to HBM)
     corr_scratch[:] = jax.lax.dot_general(
         targets_ref[0], fmap_ref[0],
         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -109,40 +116,53 @@ def _corr_sample_kernel(coords_ref, fmap_ref, targets_ref, out_ref, corr_scratch
     ) * scale  # (TN, H*W)
 
     c = coords_ref[0]  # (TN, 2)
-    x = c[:, 0]
-    y = c[:, 1]
-    x0f = jnp.floor(x)
-    y0f = jnp.floor(y)
-    wx = x - x0f
-    wy = y - y0f
+    x0f = jnp.floor(c[:, 0:1])
+    y0f = jnp.floor(c[:, 1:2])
+    wx = (c[:, 0:1] - x0f)  # (TN, 1)
+    wy = (c[:, 1:2] - y0f)
     x0 = x0f.astype(jnp.int32)
     y0 = y0f.astype(jnp.int32)
 
-    a = jax.lax.broadcasted_iota(jnp.int32, (TN, G), 1)
-    rows = y0[:, None] - r + a  # (TN, G)
-    cols = x0[:, None] - r + a
-    hh = jax.lax.broadcasted_iota(jnp.int32, (G, H), 1)
-    ww = jax.lax.broadcasted_iota(jnp.int32, (G, W), 1)
-    oy = (rows[:, :, None] == hh[None]).astype(jnp.float32)  # (TN, G, H)
-    ox = (cols[:, :, None] == ww[None]).astype(jnp.float32)  # (TN, G, W)
+    kk = jax.lax.broadcasted_iota(jnp.int32, (TN, H * W), 1)
+    m = corr_scratch[:]
 
-    corr_maps = corr_scratch[:].reshape(TN, H, W)
-    rows_sel = jax.lax.dot_general(
-        oy, corr_maps, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)  # (TN, G, W)
-    g = jax.lax.dot_general(
-        ox, rows_sel, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)  # (TN, G_cols, G_rows) -> [b, a]
-    g = jnp.swapaxes(g, 1, 2)  # (TN, a, b)
+    # integer score patch g[a][b] (each (TN, 1)), zero outside bounds
+    g = []
+    for a in range(G):
+        yy = y0 - r + a  # (TN, 1)
+        row_ok = (yy >= 0) & (yy <= H - 1)
+        g_row = []
+        for b in range(G):
+            xx = x0 - r + b
+            ok = row_ok & (xx >= 0) & (xx <= W - 1)
+            idx = jnp.clip(yy, 0, H - 1) * W + jnp.clip(xx, 0, W - 1)
+            sel = (kk == idx) & ok  # (TN, H*W) one-hot (or all-false) mask
+            g_row.append(jnp.sum(m * sel.astype(jnp.float32), axis=1,
+                                 keepdims=True))  # (TN, 1)
+        g.append(g_row)
 
-    wxe = wx[:, None, None]
-    wye = wy[:, None, None]
-    interp = ((1 - wye) * (1 - wxe) * g[:, 0:P, 0:P]
-              + (1 - wye) * wxe * g[:, 0:P, 1:G]
-              + wye * (1 - wxe) * g[:, 1:G, 0:P]
-              + wye * wxe * g[:, 1:G, 1:G])
-    interp = jnp.swapaxes(interp, 1, 2)  # reference transposed ordering
-    out_ref[0] = interp.reshape(TN, P * P)
+    # bilinear combine; out[i, j] = sample at (x + o_i, y + o_j) uses
+    # g[j..j+1][i..i+1] (reference transposed offset ordering), i-major
+    pieces = []
+    for i in range(P):
+        for j in range(P):
+            pieces.append((1 - wy) * (1 - wx) * g[j][i]
+                          + (1 - wy) * wx * g[j][i + 1]
+                          + wy * (1 - wx) * g[j + 1][i]
+                          + wy * wx * g[j + 1][i + 1])
+    out_ref[0] = jnp.concatenate(pieces, axis=1)  # (TN, P*P)
+
+
+def _pick_tile_n(tile_n: int, N: int, H: int, W: int, C: int,
+                 budget_bytes: int = 10 * 1024 * 1024) -> int:
+    """Largest power-of-two tile that keeps (double-buffered fmap block +
+    score scratch + iota/mask temporaries) under the VMEM budget."""
+    fmap_bytes = 2 * H * W * C * 4  # double-buffered across grid steps
+    per_point = H * W * 4 * 3       # scratch + iota + mask temporary
+    tn = min(tile_n, N)
+    while tn > 8 and fmap_bytes + tn * per_point > budget_bytes:
+        tn //= 2
+    return max(tn, 8)
 
 
 def corr_sample_pallas_level(fmap: jnp.ndarray, targets: jnp.ndarray,
@@ -153,8 +173,13 @@ def corr_sample_pallas_level(fmap: jnp.ndarray, targets: jnp.ndarray,
     S, H, W, C = fmap.shape
     N = targets.shape[1]
     P = 2 * radius + 1
-    TN = min(tile_n, N)
-    assert N % TN == 0, (N, TN)
+    TN = _pick_tile_n(tile_n, N, H, W, C)
+    if N % TN:  # pad points up to a tile multiple
+        pad = TN - N % TN
+        targets = jnp.concatenate([targets, targets[:, :1].repeat(pad, 1)], 1)
+        coords = jnp.concatenate([coords, coords[:, :1].repeat(pad, 1)], 1)
+        out = corr_sample_pallas_level(fmap, targets, coords, radius, TN)
+        return out[:, :N]
     scale = 1.0 / math.sqrt(C)
 
     kernel = functools.partial(_corr_sample_kernel, H=H, W=W, C=C, TN=TN,

@@ -1,0 +1,47 @@
+import sys
+import numpy as np
+import jax, jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+sys.path.insert(0, ".")
+S, H, W, C, N, TN, r = 1, 16, 128, 128, 8, 8, 3
+P, G = 2*r+1, 2*r+2
+rng = np.random.RandomState(0)
+fmap = jnp.asarray(rng.rand(S, H*W, C), jnp.float32)
+targets = jnp.asarray(rng.rand(S, N, C), jnp.float32)
+coords = jnp.asarray(rng.rand(S, N, 2) * [W-1, H-1], jnp.float32)
+def run(kernel, pp=P*P):
+    return pl.pallas_call(
+        kernel, grid=(S, N // TN),
+        in_specs=[
+            pl.BlockSpec((1, TN, 2), lambda s, n: (s, n, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H*W, C), lambda s, n: (s, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TN, C), lambda s, n: (s, n, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TN, pp), lambda s, n: (s, n, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((S, N, pp), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((TN, H*W), jnp.float32)],
+    )(coords, fmap, targets)
+def t(name, fn):
+    try:
+        out = fn(); out.block_until_ready(); print(f"OK   {name}"); return out
+    except Exception as e:
+        print(f"FAIL {name}: {type(e).__name__} {str(e)[:100]}")
+
+def k_gather(c_ref, f_ref, t_ref, o_ref, scr):
+    scr[:] = jax.lax.dot_general(t_ref[0], f_ref[0],
+        dimension_numbers=(((1,),(1,)),((),())), preferred_element_type=jnp.float32)
+    c = c_ref[0]
+    x0 = jnp.floor(c[:, 0:1]).astype(jnp.int32)  # (TN,1)
+    y0 = jnp.floor(c[:, 1:2]).astype(jnp.int32)
+    # flat indices for the G*G integer patch, built from static offsets
+    cols = []
+    for a in range(G):
+        for b in range(G):
+            yy = jnp.clip(y0 - r + a, 0, H - 1)
+            xx = jnp.clip(x0 - r + b, 0, W - 1)
+            cols.append(yy * W + xx)           # (TN,1)
+    idx = jnp.concatenate(cols, axis=1)        # (TN, G*G)
+    patch = jnp.take_along_axis(scr[:], idx, axis=1)  # (TN, 64)
+    o_ref[0] = patch[:, :P*P]
+t("gather: take_along_axis", lambda: run(k_gather))
