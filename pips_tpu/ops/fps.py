@@ -24,11 +24,14 @@ def farthest_point_sample_py(xyz: np.ndarray, npoint: int,
     return inds
 
 
-def farthest_point_sample(xyz, npoint: int, deterministic: bool = False, seed: int = 0):
+def farthest_point_sample(xyz, npoint: int, deterministic: bool = False,
+                          include_ends: bool = False, seed: int = 0):
     """Batched jax variant. xyz: (B, N, C) -> (B, npoint) int32 indices.
 
     Device-friendly: a static python loop of ``npoint`` masked argmax updates
     (npoint is small in practice; each step is a vectorized reduction).
+    ``include_ends`` pins samples 0/1 to the first/last input points
+    (reference ``utils/misc.py:166-170``).
     """
     import jax.numpy as jnp
 
@@ -41,7 +44,11 @@ def farthest_point_sample(xyz, npoint: int, deterministic: bool = False, seed: i
     distance = jnp.full((B, N), 1e10, xyz.dtype)
     out = []
     batch = jnp.arange(B)
-    for _ in range(npoint):
+    for i in range(npoint):
+        if include_ends and i == 0:
+            farthest = jnp.zeros((B,), jnp.int32)
+        elif include_ends and i == 1:
+            farthest = jnp.full((B,), N - 1, jnp.int32)
         out.append(farthest)
         centroid = xyz[batch, farthest][:, None, :]  # (B, 1, C)
         dist = jnp.sum((xyz - centroid) ** 2, -1)

@@ -46,6 +46,8 @@ class TrainConfig:
     # summaries
     log_dir: str = "logs_train"
     log_freq: int = 4000
+    metrics_every: int = 10  # host-sync metrics every K steps (device_get is
+                             # a round-trip; the reference syncs every step)
     val_freq: int = 2000
     # saving/loading
     ckpt_dir: str = "checkpoints"

@@ -112,14 +112,16 @@ def train(cfg: Optional[TrainConfig] = None) -> dict:
         batch = next(train_it)
         read_time = time.time() - t0
         state, metrics = step_fn(state, batch)
-        metrics = jax.device_get(metrics)
+        sync = (global_step % max(cfg.metrics_every, 1) == 0
+                or global_step == cfg.max_iters)
+        if sync:
+            metrics = jax.device_get(metrics)
+            for k, pool in pools.items():
+                v = float(metrics[k])
+                if v > 0 or k == "total_loss":
+                    pool.update([v])
         iter_time = time.time() - t0
-
-        for k, pool in pools.items():
-            v = float(metrics[k])
-            if v > 0 or k == "total_loss":
-                pool.update([v])
-        if global_step % max(cfg.log_freq // 100, 1) == 0:
+        if sync and global_step % max(cfg.log_freq // 100, 1) == 0:
             writer.scalars(global_step,
                            {f"pooled/{k}": p.mean() for k, p in pools.items()})
 
@@ -137,10 +139,11 @@ def train(cfg: Optional[TrainConfig] = None) -> dict:
             saverloader.save(ckpt_dir, jax.device_get(state), global_step,
                              keep_latest=cfg.keep_latest)
 
-        last_metrics = {k: float(v) for k, v in metrics.items()}
-        print(f"{name}; step {global_step:06d}/{cfg.max_iters}; "
-              f"rtime {read_time:.2f}; itime {iter_time:.2f}; "
-              f"loss = {last_metrics['total_loss']:.5f}")
+        if sync:
+            last_metrics = {k: float(v) for k, v in metrics.items()}
+            print(f"{name}; step {global_step:06d}/{cfg.max_iters}; "
+                  f"rtime {read_time:.2f}; itime {iter_time:.2f}; "
+                  f"loss = {last_metrics['total_loss']:.5f}")
 
     train_it.close()
     if val_it is not None:

@@ -35,3 +35,20 @@ class SimplePool:
 
     def fetch(self) -> np.ndarray:
         return np.asarray(self.items)
+
+    def sample(self, rng=None) -> float:
+        rng = rng or np.random
+        return self.items[rng.randint(len(self.items))]
+
+
+class MovingAverage:
+    """Exponential moving average scalar (convenience, not in reference)."""
+
+    def __init__(self, beta: float = 0.99):
+        self.beta = beta
+        self.value: float | None = None
+
+    def update(self, x: float) -> float:
+        self.value = float(x) if self.value is None else \
+            self.beta * self.value + (1 - self.beta) * float(x)
+        return self.value
