@@ -10,7 +10,10 @@ from __future__ import annotations
 
 import glob
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 import numpy as np
 

@@ -51,6 +51,19 @@ def sequence_loss(flow_preds: jnp.ndarray, flow_gt: jnp.ndarray, vis: jnp.ndarra
     return jnp.sum(per_iter * i_weights) / I
 
 
+def score_map_loss_single_iter(fcp: jnp.ndarray, trajs_g: jnp.ndarray,
+                               vis_g: jnp.ndarray, valids: jnp.ndarray) -> jnp.ndarray:
+    """Balanced BCE for ONE iteration's score maps: fcp (B, S, N, H8, W8).
+
+    The selection and one-hot masks are iteration-invariant, so the
+    reference's joint mean over all iterations equals the average of
+    per-iteration losses — computing per iteration inside the refinement
+    loop avoids stacking (B, S, I, N, H8, W8) volumes (the reference's
+    training memory hot spot).
+    """
+    return score_map_loss(fcp[:, :, None], trajs_g, vis_g, valids)
+
+
 def score_map_loss(fcps: jnp.ndarray, trajs_g: jnp.ndarray, vis_g: jnp.ndarray,
                    valids: jnp.ndarray) -> jnp.ndarray:
     """Balanced BCE between corr score maps and one-hot gt positions.

@@ -38,6 +38,7 @@ class PipsOutput(NamedTuple):
     vis_e: jnp.ndarray               # (B, S, N) visibility logits
     ffeat: jnp.ndarray               # (B, N, C) frame-0 appearance feature (chaining anchor)
     fcps: Optional[jnp.ndarray]      # (B, S, I, N, H8, W8) train-time score maps or None
+    ce_loss: Optional[jnp.ndarray] = None  # score-map CE accumulated in-loop (memory-lean)
 
 
 class Pips(nn.Module):
@@ -81,7 +82,8 @@ class Pips(nn.Module):
               feat_init: Optional[jnp.ndarray] = None,
               iters: int = 3, is_train: bool = False,
               compute_fcp: bool = False, use_fused_corr: bool = False,
-              corr_mode: Optional[str] = None) -> PipsOutput:
+              corr_mode: Optional[str] = None,
+              ce_gt: Optional[tuple] = None) -> PipsOutput:
         """Refinement on precomputed feature maps.
 
         fmaps: (B, S, H8, W8, C); xys: (B, N, 2) query pixel coords in frame 0;
@@ -93,6 +95,12 @@ class Pips(nn.Module):
         (gather-free matmul sampling of score maps), 'pallas' (fused TPU
         kernel, VMEM-resident score tiles). Default: 'fused' when
         ``use_fused_corr`` else 'full'.
+
+        ce_gt: optional (trajs_g_pix, vis_g, valids); when given with
+        ``compute_fcp``, the score-map CE loss is accumulated inside the
+        refinement loop (returned as ``ce_loss``) and the (B,S,I,N,H8,W8)
+        fcps stack is NOT materialized — the reference's training memory
+        hot spot.
         """
         B, S, H8, W8, C = fmaps.shape
         assert S == self.S
@@ -120,6 +128,7 @@ class Pips(nn.Module):
         coord_predictions = []
         coord_predictions2 = [coords * self.stride, coords * self.stride]
         fcps = []
+        ce_acc = []
 
         for _ in range(iters):
             coords = jax.lax.stop_gradient(coords)
@@ -127,7 +136,14 @@ class Pips(nn.Module):
             mode = corr_mode or ("fused" if use_fused_corr else "full")
             if compute_fcp:
                 corrs = corr_pyramid(pyramid, ffeats)
-                fcps.append(fcp_score_maps(corrs, (H8, W8)))
+                fcp = fcp_score_maps(corrs, (H8, W8))
+                if ce_gt is not None:
+                    from pips_tpu.models.losses import score_map_loss_single_iter
+                    trajs_g_pix, vis_g, valids = ce_gt
+                    ce_acc.append(score_map_loss_single_iter(
+                        fcp, trajs_g_pix / float(self.stride), vis_g, valids))
+                else:
+                    fcps.append(fcp)
                 fcorrs = sample_corr_pyramid(corrs, coords, self.corr_radius)
             elif mode == "fused":
                 fcorrs = fused_corr_sample(pyramid, ffeats, coords, self.corr_radius)
@@ -181,6 +197,7 @@ class Pips(nn.Module):
             vis_e=vis_e,
             ffeat=ffeat,
             fcps=jnp.stack(fcps, axis=2) if fcps else None,  # (B, S, I, N, H8, W8)
+            ce_loss=sum(ce_acc) / len(ce_acc) if ce_acc else None,
         )
 
     def __call__(self, xys: jnp.ndarray, rgbs: jnp.ndarray,
@@ -188,9 +205,11 @@ class Pips(nn.Module):
                  feat_init: Optional[jnp.ndarray] = None,
                  iters: int = 3, is_train: bool = False,
                  compute_fcp: bool = False, use_fused_corr: bool = False,
-                 corr_mode: Optional[str] = None) -> PipsOutput:
+                 corr_mode: Optional[str] = None,
+                 ce_gt: Optional[tuple] = None) -> PipsOutput:
         """Full forward: encode + track (reference ``Pips.forward`` signature analog)."""
         fmaps = self.encode(rgbs)
         return self.track(fmaps, xys, coords_init=coords_init, feat_init=feat_init,
                           iters=iters, is_train=is_train, compute_fcp=compute_fcp,
-                          use_fused_corr=use_fused_corr, corr_mode=corr_mode)
+                          use_fused_corr=use_fused_corr, corr_mode=corr_mode,
+                          ce_gt=ce_gt)

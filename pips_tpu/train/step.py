@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import optax
 from flax.training import train_state
 
-from pips_tpu.models.losses import balanced_ce_loss, score_map_loss, sequence_loss
+from pips_tpu.models.losses import balanced_ce_loss, sequence_loss
 from pips_tpu.ops.reduce import reduce_masked_mean
 
 
@@ -58,12 +58,16 @@ def train_loss_fn(model, params, batch: Batch, iters: int, is_train: bool = True
     vis_g = batch["visibles"]
     valids = batch["valids"]
 
+    # ce_gt triggers in-loop CE accumulation: the (B,S,I,N,H8,W8) score-map
+    # stack is never materialized (equal to the stacked loss — see
+    # losses.score_map_loss_single_iter)
     out = model.apply(params, trajs_g[:, 0], rgbs, iters=iters, is_train=is_train,
-                      compute_fcp=True, use_fused_corr=use_fused_corr)
+                      compute_fcp=True, use_fused_corr=use_fused_corr,
+                      ce_gt=(trajs_g, vis_g, valids))
 
     seq_loss = sequence_loss(out.coord_predictions, trajs_g, vis_g, valids, 0.8)
     vis_loss, _ = balanced_ce_loss(out.vis_e, vis_g, valids)
-    ce_loss = score_map_loss(out.fcps, trajs_g / model.stride, vis_g, valids)
+    ce_loss = out.ce_loss
     total_loss = seq_loss + vis_loss * 10.0 + ce_loss
 
     ate = jnp.linalg.norm(out.coord_predictions[-1] - trajs_g, axis=-1)  # B,S,N

@@ -109,3 +109,21 @@ def test_saverloader_ignore_load(tmp_path):
     np.testing.assert_allclose(
         restored["params"]["vis_predictor"]["bias"],
         perturbed["params"]["vis_predictor"]["bias"])
+
+
+def test_inloop_ce_matches_stacked(tiny_batch):
+    """ce_gt in-loop accumulation == stacked score_map_loss exactly."""
+    from pips_tpu.models.losses import score_map_loss
+
+    model = Pips(**TINY)
+    state = make_tiny_state(model)
+    batch = {k: jnp.asarray(v) for k, v in tiny_batch.items()}
+    out_stacked = model.apply(state.params, batch["trajs"][:, 0], batch["rgbs"],
+                              iters=2, is_train=True, compute_fcp=True)
+    want = float(score_map_loss(out_stacked.fcps, batch["trajs"] / model.stride,
+                                batch["visibles"], batch["valids"]))
+    out_lean = model.apply(state.params, batch["trajs"][:, 0], batch["rgbs"],
+                           iters=2, is_train=True, compute_fcp=True,
+                           ce_gt=(batch["trajs"], batch["visibles"], batch["valids"]))
+    assert out_lean.fcps is None
+    np.testing.assert_allclose(float(out_lean.ce_loss), want, rtol=1e-5)
