@@ -50,7 +50,7 @@ def main(quick: bool = False):
     jax.block_until_ready(metrics["total_loss"])
     compile_time = time.time() - t0
 
-    n_steps = 3 if quick else 10
+    n_steps = 3 if quick else 30
     t0 = time.time()
     for _ in range(n_steps):
         state, metrics = step(state, batch)
