@@ -51,11 +51,16 @@ class Pips(nn.Module):
     mixer_depth: int = 12
     dtype: Any = None  # compute dtype (e.g. jnp.bfloat16); params stay float32.
                        # Coordinates, norms, and corr accumulation remain f32.
+    remat_mixer: bool = False  # rematerialize the DeltaBlock on backward —
+                               # its FF activations are the training memory
+                               # hot spot at large B*N (surgical alternative
+                               # to whole-step remat)
 
     def setup(self):
         self.fnet = BasicEncoder(output_dim=self.latent_dim, stride=self.stride,
                                  dtype=self.dtype)
-        self.delta_block = DeltaBlock(
+        delta_cls = nn.remat(DeltaBlock) if self.remat_mixer else DeltaBlock
+        self.delta_block = delta_cls(
             latent_dim=self.latent_dim,
             corr_levels=self.corr_levels,
             corr_radius=self.corr_radius,

@@ -61,7 +61,8 @@ class TrainConfig:
     mesh_shape: Optional[Sequence[int]] = None  # e.g. (8,) data-parallel; None = all devices
     dtype: str = "bfloat16"   # compute dtype for the model ("float32" for exactness)
     use_fused_corr: bool = False
-    remat: bool = False
+    remat: bool = False        # whole-step remat (heavy on the compiler)
+    remat_mixer: bool = True   # surgical DeltaBlock remat (cheap, big memory win)
     # smoke mode (reference train2.py --quick analog)
     quick: bool = False
 
