@@ -149,7 +149,11 @@ class Pips(nn.Module):
                         fcp, trajs_g_pix / float(self.stride), vis_g, valids))
                 else:
                     fcps.append(fcp)
-                fcorrs = sample_corr_pyramid(corrs, coords, self.corr_radius)
+                # one-hot patch sampling: same values as the grid-sample
+                # gather, but its transpose is a matmul rather than a scatter
+                # (gather backward dominates the train step otherwise)
+                from pips_tpu.kernels.corr_pallas import sample_corr_onehot
+                fcorrs = sample_corr_onehot(corrs, coords, self.corr_radius)
             elif mode == "fused":
                 fcorrs = fused_corr_sample(pyramid, ffeats, coords, self.corr_radius)
             elif mode == "onehot":
