@@ -47,7 +47,9 @@ def test_select_skip_matches_reference_scan():
 @pytest.fixture(scope="module")
 def video_setup():
     model = Pips(**TINY)
-    T, H, W, N = 10, 64, 96, 5
+    # short video: 2 chained windows per point at skip=3 — cross-window fp
+    # drift compounds chaotically with untrained weights on longer chains
+    T, H, W, N = 7, 64, 96, 5
     ds = SyntheticPointDataset(S=T, N=N, H=H, W=W, seed=21)
     sample, _ = ds[0]
     rgbs = sample["rgbs"]  # (T, H, W, 3)
