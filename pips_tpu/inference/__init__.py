@@ -1,4 +1,7 @@
 from pips_tpu.inference.chain import ChainTracker, select_skip
+from pips_tpu.inference.chain_device import ChainTrackerOnDevice
+from pips_tpu.inference.flow_chain import FlowChainTracker
 from pips_tpu.inference.window import WindowTracker
 
-__all__ = ["ChainTracker", "WindowTracker", "select_skip"]
+__all__ = ["ChainTracker", "ChainTrackerOnDevice", "FlowChainTracker",
+           "WindowTracker", "select_skip"]

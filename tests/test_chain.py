@@ -124,3 +124,30 @@ def test_chain_tracker_shapes(video_setup):
     assert trajs.shape == (T, N, 2)
     assert vis.shape == (T, N)
     np.testing.assert_allclose(trajs[0], xys, atol=1e-4)
+
+
+def test_on_device_chain_matches_host(video_setup):
+    """The single-call on-device chain == host-scheduled chain (fixed skip)."""
+    from pips_tpu.inference.chain_device import ChainTrackerOnDevice, select_skip_jnp
+
+    model, params, rgbs, xys = video_setup
+
+    # in-graph skip rule == numpy skip rule
+    rngv = np.random.RandomState(3)
+    vis = rngv.rand(200, 4).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(select_skip_jnp(jnp.asarray(vis), 4)),
+                                  select_skip(vis, S=4))
+
+    def fixed_skip(vis, S):
+        return np.full(vis.shape[0], 3, np.int64)
+
+    host = ChainTracker(model, params, iters=2, capacity=8, select_fn=fixed_skip)
+    ht, hv = host.track_video(rgbs, xys)
+
+    dev = ChainTrackerOnDevice(model, params, iters=2, fixed_skip=3)
+    dt_, dv_ = dev.track_video(rgbs, xys)
+
+    assert dt_.shape == ht.shape and dv_.shape == hv.shape
+    np.testing.assert_allclose(dt_, ht, atol=0.5)
+    np.testing.assert_allclose(dt_[:4], ht[:4], atol=1e-2)  # first window tight
+    np.testing.assert_allclose(dv_, hv, atol=0.05)
