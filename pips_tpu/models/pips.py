@@ -13,8 +13,10 @@ TPU-first structure:
     ``stop_gradient``-ed at each iteration start (reference ``nets/pips.py:500``).
   * eval locks the frame-0 coordinate after every update
     (reference ``nets/pips.py:535-536``); train does not.
-  * ``use_fused_corr=True`` switches to the fused corr+sample path that never
-    materializes (B, S, N, H, W) score maps (eval-time memory/bandwidth win).
+  * four numerically-equivalent corr+sample execution paths are selectable
+    via ``corr_mode`` (see ``track``); training accumulates the score-map CE
+    loss inside the loop (``ce_gt``) so the (B, S, I, N, H8, W8) stack —
+    the reference's training memory hot spot — is never materialized.
 """
 
 from __future__ import annotations

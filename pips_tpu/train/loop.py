@@ -102,6 +102,9 @@ def train(cfg: Optional[TrainConfig] = None) -> dict:
             batch_iterator(build_dataset(cfg, "val"), cfg.B, shuffle=True),
             put_fn=lambda b: shard_batch(mesh, b, 1))
 
+    from pips_tpu.train.step import train_loss_fn
+    val_fn = jax.jit(lambda p, b: train_loss_fn(model, p, b, cfg.I, is_train=False))
+
     writer = MetricWriter(f"{cfg.log_dir}/{name}")
     pools = {k: SimplePool(100) for k in
              ("total_loss", "seq", "vis", "ce", "ate_all", "ate_vis", "ate_occ")}
@@ -128,11 +131,8 @@ def train(cfg: Optional[TrainConfig] = None) -> dict:
 
         if val_it is not None and global_step % cfg.val_freq == 0:
             # quick val probe: loss on one held-out batch (no grad)
-            from pips_tpu.train.step import train_loss_fn
             vb = next(val_it)
-            _, vmetrics = jax.jit(
-                lambda p, b: train_loss_fn(model, p, b, cfg.I, is_train=False)
-            )(state.params, vb)
+            _, vmetrics = val_fn(state.params, vb)
             writer.scalars(global_step,
                            {f"val/{k}": float(v) for k, v in jax.device_get(vmetrics).items()})
 
