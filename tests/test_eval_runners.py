@@ -1,0 +1,41 @@
+"""Eval runners end-to-end on synthetic data trees (tiny model, random init)."""
+
+import numpy as np
+import pytest
+
+from pips_tpu.models import Pips
+
+PIL = pytest.importorskip("PIL")
+
+TINY = dict(latent_dim=16, corr_levels=3, corr_radius=2, mixer_dim=32,
+            mixer_depth=2)
+
+
+def tiny_pips(S=8, stride=8, **kw):
+    return Pips(S=S, stride=stride, **TINY)
+
+
+def test_run_flt_end_to_end(monkeypatch, tmp_path_factory):
+    from tests_treeutil import make_flyingthings_tree
+
+    from pips_tpu.evals import run_flt
+
+    root = make_flyingthings_tree(tmp_path_factory.mktemp("flt"), dset="TEST")
+    monkeypatch.setattr(run_flt, "Pips", tiny_pips)
+    out = run_flt.main(init_dir="random", dataset_location=root, N=8,
+                       crop_size=(96, 128), max_iters=2, iters=1,
+                       log_dir=str(tmp_path_factory.mktemp("logs")))
+    assert np.isfinite(out["ate_all"])
+    assert out["ate_all"] > 0
+
+
+def test_run_badja_end_to_end(monkeypatch, tmp_path_factory):
+    from tests_treeutil import make_badja_tree
+
+    from pips_tpu.evals import run_badja
+
+    root = make_badja_tree(tmp_path_factory.mktemp("badja"))
+    monkeypatch.setattr(run_badja, "Pips", tiny_pips)
+    out = run_badja.main(init_dir="random", data_dir=root, S=4, stride=8,
+                         iters=1, max_iters=1, resize_hw=(64, 96))
+    assert "avg" in out and np.isfinite(out["avg"])
