@@ -27,7 +27,8 @@ from pips_tpu.utils.improc import draw_trajs_on_rgbs, write_gif
 def main(init_dir: str = "checkpoints/ref", images_dir: str = "./demo_images",
          out_dir: str = "./chain_out", S: int = 8, stride: int = 4, iters: int = 6,
          resize_hw=(360, 640), x0: float = 450.0, y0: float = 100.0, N: int = 1,
-         grid: int = 0, max_frames: int = 0):
+         grid: int = 0, max_frames: int = 0, on_device: bool = False,
+         bf16: bool = False):
     import imageio.v2 as imageio
 
     filenames = sorted(glob.glob(os.path.join(images_dir, "*.jpg")))
@@ -48,9 +49,14 @@ def main(init_dir: str = "checkpoints/ref", images_dir: str = "./demo_images",
     else:
         xys = np.tile(np.array([[x0, y0]], np.float32), (N, 1))
 
-    model = Pips(S=S, stride=stride)
+    import jax.numpy as jnp
+    model = Pips(S=S, stride=stride, dtype=jnp.bfloat16 if bf16 else None)
     params = load_params(model, init_dir)
-    chain = ChainTracker(model, params, iters=iters)
+    if on_device:
+        from pips_tpu.inference import ChainTrackerOnDevice
+        chain = ChainTrackerOnDevice(model, params, iters=iters)
+    else:
+        chain = ChainTracker(model, params, iters=iters)
 
     t0 = time.time()
     trajs, vis = chain.track_video(rgbs, xys.astype(np.float32))

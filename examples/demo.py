@@ -25,7 +25,8 @@ from pips_tpu.utils.improc import draw_trajs_on_rgbs, write_gif
 
 def main(init_dir: str = "checkpoints/ref", images_dir: str = "./demo_images",
          out_dir: str = "./demo_out", S: int = 8, stride: int = 4, iters: int = 6,
-         resize_hw=(360, 640), grid: int = 16, max_chunks: int = 0):
+         resize_hw=(360, 640), grid: int = 16, max_chunks: int = 0,
+         bf16: bool = False):
     import imageio.v2 as imageio
 
     filenames = sorted(glob.glob(os.path.join(images_dir, "*.jpg")))
@@ -33,7 +34,8 @@ def main(init_dir: str = "checkpoints/ref", images_dir: str = "./demo_images",
         raise FileNotFoundError(f"no jpgs in {images_dir}")
     print(f"found {len(filenames)} frames")
 
-    model = Pips(S=S, stride=stride)
+    import jax.numpy as jnp
+    model = Pips(S=S, stride=stride, dtype=jnp.bfloat16 if bf16 else None)
     params = load_params(model, init_dir)
     tracker = WindowTracker(model, params, iters=iters)
 

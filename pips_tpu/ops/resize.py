@@ -47,10 +47,13 @@ def resize_bilinear_align_corners(img: jnp.ndarray, out_hw: tuple[int, int]) -> 
     H, W = img.shape[-3], img.shape[-2]
     if (H, W) == (H_out, W_out):
         return img
-    Ay = jnp.asarray(_interp_matrix(H, H_out))  # (H_out, H)
-    Ax = jnp.asarray(_interp_matrix(W, W_out))  # (W_out, W)
-    out = jnp.einsum("oh,...hwc->...owc", Ay, img, precision=jax.lax.Precision.HIGHEST)
-    out = jnp.einsum("pw,...hwc->...hpc", Ax, out, precision=jax.lax.Precision.HIGHEST)
+    Ay = jnp.asarray(_interp_matrix(H, H_out), img.dtype)  # (H_out, H)
+    Ax = jnp.asarray(_interp_matrix(W, W_out), img.dtype)  # (W_out, W)
+    # exact passes for f32 (parity); bf16 inputs run native MXU
+    prec = (jax.lax.Precision.HIGHEST if img.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    out = jnp.einsum("oh,...hwc->...owc", Ay, img, precision=prec)
+    out = jnp.einsum("pw,...hwc->...hpc", Ax, out, precision=prec)
     return out
 
 
