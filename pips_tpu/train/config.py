@@ -48,6 +48,7 @@ class TrainConfig:
     log_freq: int = 4000
     metrics_every: int = 10  # host-sync metrics every K steps (device_get is
                              # a round-trip; the reference syncs every step)
+    profile_dir: str = ""    # capture a jax.profiler trace of steps 10-15
     val_freq: int = 2000
     # saving/loading
     ckpt_dir: str = "checkpoints"

@@ -112,6 +112,10 @@ def train(cfg: Optional[TrainConfig] = None) -> dict:
     last_metrics = {}
     while global_step < cfg.max_iters:
         global_step += 1
+        if cfg.profile_dir and global_step == 10:
+            jax.profiler.start_trace(cfg.profile_dir)
+        if cfg.profile_dir and global_step == 15:
+            jax.profiler.stop_trace()
         t0 = time.time()
         batch = next(train_it)
         read_time = time.time() - t0
