@@ -20,4 +20,18 @@ Design notes (TPU-first, not a port):
 
 from pips_tpu.version import __version__
 
-__all__ = ["__version__"]
+
+def __getattr__(name):
+    # lazy top-level API (avoids importing jax for metadata-only uses)
+    if name in ("Pips", "PipsOutput"):
+        from pips_tpu import models
+        return getattr(models, name)
+    if name in ("ChainTracker", "ChainTrackerOnDevice", "WindowTracker",
+                "FlowChainTracker"):
+        from pips_tpu import inference
+        return getattr(inference, name)
+    raise AttributeError(name)
+
+
+__all__ = ["ChainTracker", "ChainTrackerOnDevice", "FlowChainTracker", "Pips",
+           "PipsOutput", "WindowTracker", "__version__"]
