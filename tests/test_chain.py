@@ -59,10 +59,12 @@ def video_setup():
     return model, params, rgbs, xys
 
 
-def per_point_chain(model, params, rgbs, xy, iters=2, skip=None):
+def per_point_chain(model, params, rgbs, xy, iters=2, skip=None, fmaps=None):
     """The reference's sequential single-point loop (chain_demo.py:40-83),
     expressed against our model API, as the semantics oracle.
-    ``skip``: fixed window advance, or None for the visibility rule."""
+    ``skip``: fixed window advance, or None for the visibility rule.
+    ``fmaps``: precomputed (T, H8, W8, C) features — pass the SAME stack the
+    batched tracker uses so encoder batch-grouping fp noise cancels."""
     T = rgbs.shape[0]
     S = model.S
     tracker = WindowTracker(model, params, iters=iters)
@@ -73,10 +75,12 @@ def per_point_chain(model, params, rgbs, xy, iters=2, skip=None):
     cur = 0
     while True:
         idx = np.minimum(np.arange(cur, cur + S), T - 1)
-        window = rgbs[idx][None]  # last-frame padding
         S_local = min(S, T - cur)
-        coords, vis, ffeat = tracker.track(
-            tracker.encode(window), traj[cur][None, None], feat)
+        if fmaps is not None:
+            fm_win = fmaps[idx][None]
+        else:
+            fm_win = tracker.encode(rgbs[idx][None])  # last-frame padding
+        coords, vis, ffeat = tracker.track(fm_win, traj[cur][None, None], feat)
         if feat is None:
             feat = ffeat
         c = np.asarray(coords[0])
@@ -102,10 +106,11 @@ def test_chain_tracker_matches_per_point_loop(video_setup):
 
     chain = ChainTracker(model, params, iters=2, capacity=8, select_fn=fixed_skip)
     trajs, vis = chain.track_video(rgbs, xys)
+    fmaps = np.asarray(chain.encode_video(rgbs))  # shared features for the oracle
 
     for n in range(xys.shape[0]):
         want_traj, want_vis = per_point_chain(model, params, rgbs, xys[n],
-                                              skip=3)
+                                              skip=3, fmaps=fmaps)
         # batched-vs-sequential fp reassociation injects ~1e-6 noise per
         # window that compounds across chained windows (and can flip a
         # bilinear cell at integer grid lines); require the first window to
