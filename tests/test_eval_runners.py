@@ -39,3 +39,28 @@ def test_run_badja_end_to_end(monkeypatch, tmp_path_factory):
     out = run_badja.main(init_dir="random", data_dir=root, S=4, stride=8,
                          iters=1, max_iters=1, resize_hw=(64, 96))
     assert "avg" in out and np.isfinite(out["avg"])
+
+
+def test_run_crohd_end_to_end(monkeypatch, tmp_path_factory):
+    from tests_treeutil import make_crohd_tree
+
+    from pips_tpu.evals import run_crohd
+
+    root = make_crohd_tree(tmp_path_factory.mktemp("ht21"))
+    monkeypatch.setattr(run_crohd, "Pips", tiny_pips)
+    out = run_crohd.main(init_dir="random", dataset_root=root, S=8, stride=8,
+                         N=4, iters=1, max_iters=2, req_occlusion=False)
+    assert np.isfinite(out["ate_all"])
+
+
+def test_run_davis_end_to_end(monkeypatch, tmp_path_factory):
+    from tests_treeutil import make_davis_tree
+
+    from pips_tpu.evals import run_davis
+
+    root = make_davis_tree(tmp_path_factory.mktemp("davis"))
+    monkeypatch.setattr(run_davis, "Pips", tiny_pips)
+    out = run_davis.main(init_dir="random", davis_dir=root, S=8, stride=8,
+                         iters=1, chunk=16, resize_hw=(48, 96), max_videos=1,
+                         point_stride=16)
+    assert np.isfinite(out["mean_tps"]) and out["mean_tps"] > 0

@@ -64,3 +64,34 @@ def make_badja_tree(root, T=4, H=60, W=80, seed=0) -> str:
         })
     (root / "joint_annotations" / "bear.json").write_text(json.dumps(ann))
     return str(root)
+
+
+def make_crohd_tree(root, n_frames=30, n_heads=4, seed=0) -> str:
+    rng = np.random.RandomState(seed)
+    for sub in ("HT21-01", "HT21-02", "HT21-03", "HT21-04"):
+        img_dir = root / "HT21/train" / sub / "img1"
+        gt_dir = root / "HT21Labels/train" / sub / "gt"
+        img_dir.mkdir(parents=True)
+        gt_dir.mkdir(parents=True)
+        for fr in range(n_frames):
+            Image.fromarray((rng.rand(96, 128, 3) * 255).astype(np.uint8)).save(
+                img_dir / f"{fr + 1:06d}.jpg")
+        rows = []
+        for fr in range(n_frames):
+            for hid in range(n_heads):
+                x = 5 + hid * 8 + fr * (3 if hid == 0 else 0.2)
+                y = 10.0 + hid
+                rows.append(f"{fr + 1},{hid + 1},{x:.1f},{y:.1f},4,4,1,1,1")
+        (gt_dir / "gt.txt").write_text("\n".join(rows))
+    return str(root)
+
+
+def make_davis_tree(root, n_videos=2, n_frames=8, seed=0) -> str:
+    rng = np.random.RandomState(seed)
+    for v in range(n_videos):
+        vd = root / "JPEGImages/Full-Resolution" / f"video{v}"
+        vd.mkdir(parents=True)
+        for fr in range(n_frames):
+            Image.fromarray((rng.rand(60, 104, 3) * 255).astype(np.uint8)).save(
+                vd / f"{fr:05d}.jpg")
+    return str(root)
