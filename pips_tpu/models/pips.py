@@ -57,6 +57,8 @@ class Pips(nn.Module):
                                # its FF activations are the training memory
                                # hot spot at large B*N (surgical alternative
                                # to whole-step remat)
+    remat_corr: bool = False   # rematerialize the per-iteration corr volumes
+                               # ((B,S,N,H,W) x levels x iters) on backward
 
     def setup(self):
         self.fnet = BasicEncoder(output_dim=self.latent_dim, stride=self.stride,
@@ -142,8 +144,20 @@ class Pips(nn.Module):
 
             mode = corr_mode or ("fused" if use_fused_corr else "full")
             if compute_fcp:
-                corrs = corr_pyramid(pyramid, ffeats)
-                fcp = fcp_score_maps(corrs, (H8, W8))
+                # one-hot patch sampling: same values as the grid-sample
+                # gather, but its transpose is a matmul rather than a scatter
+                # (gather backward dominates the train step otherwise)
+                from pips_tpu.kernels.corr_pallas import sample_corr_onehot
+
+                def corr_chunk(ffeats_c, coords_c):
+                    corrs = corr_pyramid(pyramid, ffeats_c)
+                    fcp = fcp_score_maps(corrs, (H8, W8))
+                    fc = sample_corr_onehot(corrs, coords_c, self.corr_radius)
+                    return fcp, fc
+
+                if self.remat_corr:  # recompute score volumes on backward
+                    corr_chunk = jax.checkpoint(corr_chunk)
+                fcp, fcorrs = corr_chunk(ffeats, coords)
                 if ce_gt is not None:
                     from pips_tpu.models.losses import score_map_loss_single_iter
                     trajs_g_pix, vis_g, valids = ce_gt
@@ -151,11 +165,6 @@ class Pips(nn.Module):
                         fcp, trajs_g_pix / float(self.stride), vis_g, valids))
                 else:
                     fcps.append(fcp)
-                # one-hot patch sampling: same values as the grid-sample
-                # gather, but its transpose is a matmul rather than a scatter
-                # (gather backward dominates the train step otherwise)
-                from pips_tpu.kernels.corr_pallas import sample_corr_onehot
-                fcorrs = sample_corr_onehot(corrs, coords, self.corr_radius)
             elif mode == "fused":
                 fcorrs = fused_corr_sample(pyramid, ffeats, coords, self.corr_radius)
             elif mode == "onehot":

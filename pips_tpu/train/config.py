@@ -64,6 +64,7 @@ class TrainConfig:
     use_fused_corr: bool = False
     remat: bool = False        # whole-step remat (heavy on the compiler)
     remat_mixer: bool = True   # surgical DeltaBlock remat (cheap, big memory win)
+    remat_corr: bool = True    # recompute corr volumes on backward
     # smoke mode (reference train2.py --quick analog)
     quick: bool = False
 

@@ -69,7 +69,7 @@ def train(cfg: Optional[TrainConfig] = None) -> dict:
     model = Pips(S=cfg.S, stride=cfg.stride, latent_dim=cfg.latent_dim,
                  corr_levels=cfg.corr_levels, corr_radius=cfg.corr_radius,
                  mixer_dim=cfg.mixer_dim, mixer_depth=cfg.mixer_depth,
-                 remat_mixer=cfg.remat_mixer)
+                 remat_mixer=cfg.remat_mixer, remat_corr=cfg.remat_corr)
     state = init_state(cfg, model)
 
     ckpt_dir = f"{cfg.ckpt_dir}/{name}"
