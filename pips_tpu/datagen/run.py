@@ -24,6 +24,8 @@ MIN_LIFESPAN = 8
 def _read_clip(rgb_dir: str, mask_dir: str, flow_dir: str, lr: str, start: int):
     names = sorted(os.path.splitext(os.path.basename(p))[0]
                    for p in glob.glob(os.path.join(rgb_dir, "*")))
+    if len(names) < start + MIN_LIFESPAN:  # camera/clip missing or too short
+        return None
     suffix = "L" if lr == "left" else "R"
     masks, flows_f, flows_b = [], [], []
     for name in names:
