@@ -99,10 +99,11 @@ def _corr_sample_kernel(coords_ref, fmap_ref, targets_ref, out_ref, corr_scratch
     """Grid step (s, n_tile): fmap (H*W, C) and targets (TN, C) in VMEM.
 
     Mosaic-constraint notes: 3D broadcast-compares, minor-dim reshapes of
-    small tiles, and in-kernel gathers are all rejected by the TPU compiler,
-    so the integer patch is extracted with (G+1)^2 statically-unrolled masked
-    row-reductions over the VMEM score tile — pure 2D iota/compare/reduce
-    (VPU) after one MXU matmul.
+    small tiles, in-kernel gathers, and batched dot_generals are all rejected
+    by the TPU compiler. The integer patch is extracted in two stages of
+    statically-unrolled masked reductions (2D iota/compare only): G one-hot
+    row selections over the (TN, H, W) score tile, then G^2 cheap column
+    reductions over the (TN, W) rows — after one MXU matmul.
     """
     r = radius
     P = 2 * r + 1
@@ -123,23 +124,23 @@ def _corr_sample_kernel(coords_ref, fmap_ref, targets_ref, out_ref, corr_scratch
     x0 = x0f.astype(jnp.int32)
     y0 = y0f.astype(jnp.int32)
 
-    kk = jax.lax.broadcasted_iota(jnp.int32, (TN, H * W), 1)
-    m = corr_scratch[:]
+    m3 = corr_scratch[:].reshape(TN, H, W)
+    hh = jax.lax.broadcasted_iota(jnp.int32, (TN, H), 1)
+    ww = jax.lax.broadcasted_iota(jnp.int32, (TN, W), 1)
 
-    # integer score patch g[a][b] (each (TN, 1)), zero outside bounds
-    g = []
+    rows = []  # per patch row a: (TN, W), zero outside bounds
     for a in range(G):
         yy = y0 - r + a  # (TN, 1)
-        row_ok = (yy >= 0) & (yy <= H - 1)
-        g_row = []
-        for b in range(G):
-            xx = x0 - r + b
-            ok = row_ok & (xx >= 0) & (xx <= W - 1)
-            idx = jnp.clip(yy, 0, H - 1) * W + jnp.clip(xx, 0, W - 1)
-            sel = (kk == idx) & ok  # (TN, H*W) one-hot (or all-false) mask
-            g_row.append(jnp.sum(m * sel.astype(jnp.float32), axis=1,
-                                 keepdims=True))  # (TN, 1)
-        g.append(g_row)
+        oy = ((hh == yy) & (yy >= 0) & (yy <= H - 1)).astype(jnp.float32)
+        rows.append(jnp.sum(m3 * oy[:, :, None], axis=1))
+
+    # integer score patch g[a][b] (each (TN, 1)), zero outside bounds
+    g = [[None] * G for _ in range(G)]
+    for b in range(G):
+        xx = x0 - r + b
+        ox = ((ww == xx) & (xx >= 0) & (xx <= W - 1)).astype(jnp.float32)
+        for a in range(G):
+            g[a][b] = jnp.sum(rows[a] * ox, axis=1, keepdims=True)
 
     # bilinear combine; out[i, j] = sample at (x + o_i, y + o_j) uses
     # g[j..j+1][i..i+1] (reference transposed offset ordering), i-major

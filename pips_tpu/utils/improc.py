@@ -258,3 +258,59 @@ def render_fcp_vis(fcps: np.ndarray, coords: np.ndarray,
                 img[..., 1] = np.clip(img[..., 1] + kg * 255, 0, 255)
             frames.append(img.astype(np.uint8))
     return np.stack(frames)
+
+
+def colormap_2d(u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """2D position colormap (the reference's bremm.png role,
+    ``utils/improc.py:316-335``): map (u, v) in [0,1]^2 to RGB by bilinear
+    corner interpolation (procedural stand-in for the bremm texture)."""
+    u = np.clip(np.asarray(u, np.float32), 0, 1)[..., None]
+    v = np.clip(np.asarray(v, np.float32), 0, 1)[..., None]
+    c00 = np.array([0, 80, 255], np.float32)      # blue
+    c01 = np.array([0, 255, 120], np.float32)     # green
+    c10 = np.array([255, 70, 50], np.float32)     # red
+    c11 = np.array([255, 230, 0], np.float32)     # yellow
+    rgb = ((1 - u) * (1 - v) * c00 + (1 - u) * v * c01
+           + u * (1 - v) * c10 + u * v * c11)
+    return rgb.astype(np.uint8)
+
+
+def seq2color(seq: np.ndarray, colormap: str = "spring") -> np.ndarray:
+    """Collapse a temporal stack of heatmaps to one RGB image with color
+    encoding time (reference ``utils/improc.py:seq2color`` capability).
+
+    seq: (S, H, W) nonneg -> (H, W, 3) uint8: per pixel, the argmax-time's
+    color scaled by intensity.
+    """
+    S, H, W = seq.shape
+    colors = _colormap(np.linspace(0, 1, S), colormap).astype(np.float32)  # (S,3)
+    t = np.argmax(seq, axis=0)            # (H, W)
+    mag = np.clip(seq.max(axis=0), 0, 1)  # (H, W)
+    img = colors[t] * mag[..., None]
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def draw_trajs_on_rgbs2(rgbs: np.ndarray, trajs: np.ndarray, visibles: np.ndarray,
+                        cmap: str = "spring", linewidth: int = 1) -> np.ndarray:
+    """Visibility-coded per-frame overlay (reference ``summ_traj2ds_on_rgbs2``):
+    filled markers when visible, thin open rings when occluded.
+
+    rgbs: (S, H, W, 3) uint8; trajs: (S, N, 2); visibles: (S, N) in [0, 1].
+    """
+    S = rgbs.shape[0]
+    out = []
+    for s in range(S):
+        img = draw_trajs_on_rgb(rgbs[s], trajs[: s + 1], cmap=cmap,
+                                linewidth=linewidth, show_dots=False)
+        if cv2 is not None:
+            N = trajs.shape[1]
+            colors = _colormap(np.full(N, s / max(S - 1, 1)), cmap)
+            for n in range(N):
+                p = tuple(np.round(trajs[s, n]).astype(int))
+                col = tuple(int(c) for c in colors[n])
+                if visibles[s, n] > 0.5:
+                    cv2.circle(img, p, linewidth + 1, col, -1)
+                else:
+                    cv2.circle(img, p, linewidth + 2, col, 1)
+        out.append(img)
+    return np.stack(out)

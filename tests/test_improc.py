@@ -69,3 +69,26 @@ def test_draw_circles_and_fcp_vis(rng):
     frames = render_fcp_vis(fcps, coords, stride=8)
     assert frames.shape == (8, 8, 10, 3)
     assert frames.dtype == np.uint8
+
+
+def test_colormap_2d_and_seq2color(rng):
+    from pips_tpu.utils.improc import colormap_2d, draw_trajs_on_rgbs2, seq2color
+
+    rgb = colormap_2d(np.array([0.0, 1.0]), np.array([0.0, 1.0]))
+    assert rgb.shape == (2, 3)
+    assert not (rgb[0] == rgb[1]).all()  # distinct corners
+
+    seq = np.zeros((3, 8, 10), np.float32)
+    seq[0, 2, 3] = 1.0
+    seq[2, 5, 7] = 1.0
+    img = seq2color(seq)
+    assert img.shape == (8, 10, 3)
+    assert img[2, 3].any() and img[5, 7].any()
+    assert not (img[2, 3] == img[5, 7]).all()  # different times -> colors
+
+    rgbs = np.zeros((3, 32, 40, 3), np.uint8)
+    trajs = (rng.rand(3, 2, 2) * [38, 30] + 1).astype(np.float32)
+    vis = np.array([[1, 0], [1, 1], [0, 1]], np.float32)
+    frames = draw_trajs_on_rgbs2(rgbs, trajs, vis)
+    assert frames.shape == rgbs.shape
+    assert frames.sum() > 0
