@@ -124,23 +124,38 @@ def _corr_sample_kernel(coords_ref, fmap_ref, targets_ref, out_ref, corr_scratch
     x0 = x0f.astype(jnp.int32)
     y0 = y0f.astype(jnp.int32)
 
-    m3 = corr_scratch[:].reshape(TN, H, W)
-    hh = jax.lax.broadcasted_iota(jnp.int32, (TN, H), 1)
-    ww = jax.lax.broadcasted_iota(jnp.int32, (TN, W), 1)
-
-    rows = []  # per patch row a: (TN, W), zero outside bounds
-    for a in range(G):
-        yy = y0 - r + a  # (TN, 1)
-        oy = ((hh == yy) & (yy >= 0) & (yy <= H - 1)).astype(jnp.float32)
-        rows.append(jnp.sum(m3 * oy[:, :, None], axis=1))
-
-    # integer score patch g[a][b] (each (TN, 1)), zero outside bounds
     g = [[None] * G for _ in range(G)]
-    for b in range(G):
-        xx = x0 - r + b
-        ox = ((ww == xx) & (xx >= 0) & (xx <= W - 1)).astype(jnp.float32)
+    if W % 128 == 0:
+        # fast path (lane-aligned W): G one-hot ROW selections over the 3D
+        # tile, then G^2 cheap (TN, W) column reductions
+        m3 = corr_scratch[:].reshape(TN, H, W)
+        hh = jax.lax.broadcasted_iota(jnp.int32, (TN, H), 1)
+        ww = jax.lax.broadcasted_iota(jnp.int32, (TN, W), 1)
+        rows = []  # per patch row a: (TN, W), zero outside bounds
         for a in range(G):
-            g[a][b] = jnp.sum(rows[a] * ox, axis=1, keepdims=True)
+            yy = y0 - r + a  # (TN, 1)
+            oy = ((hh == yy) & (yy >= 0) & (yy <= H - 1)).astype(jnp.float32)
+            rows.append(jnp.sum(m3 * oy[:, :, None], axis=1))
+        for b in range(G):
+            xx = x0 - r + b
+            ox = ((ww == xx) & (xx >= 0) & (xx <= W - 1)).astype(jnp.float32)
+            for a in range(G):
+                g[a][b] = jnp.sum(rows[a] * ox, axis=1, keepdims=True)
+    else:
+        # general path: Mosaic rejects sub-lane minor dims in the 3D multiply,
+        # so extract each patch cell with a flat one-hot masked reduction
+        kk = jax.lax.broadcasted_iota(jnp.int32, (TN, H * W), 1)
+        m = corr_scratch[:]
+        for a in range(G):
+            yy = y0 - r + a
+            row_ok = (yy >= 0) & (yy <= H - 1)
+            for b in range(G):
+                xx = x0 - r + b
+                ok = row_ok & (xx >= 0) & (xx <= W - 1)
+                idx = jnp.clip(yy, 0, H - 1) * W + jnp.clip(xx, 0, W - 1)
+                sel = (kk == idx) & ok
+                g[a][b] = jnp.sum(m * sel.astype(jnp.float32), axis=1,
+                                  keepdims=True)
 
     # bilinear combine; out[i, j] = sample at (x + o_i, y + o_j) uses
     # g[j..j+1][i..i+1] (reference transposed offset ordering), i-major
