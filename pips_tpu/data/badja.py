@@ -10,8 +10,6 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Optional
-
 import numpy as np
 
 # SMAL joint ids that carry annotations (reference ``badjadataset.py:81-90``)

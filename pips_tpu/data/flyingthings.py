@@ -20,8 +20,6 @@ from __future__ import annotations
 
 import glob
 import os
-from typing import Optional
-
 import numpy as np
 
 from pips_tpu.data.augs import just_crop, photometric_augs, spatial_augs

@@ -8,7 +8,6 @@ relabeling ("visible in >= 4 frames"). Usage:
 
 from __future__ import annotations
 
-import sys
 import time
 
 import numpy as np

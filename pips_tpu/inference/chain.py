@@ -25,8 +25,6 @@ the first window), same skip rule (si ∈ [2, S-1], threshold 0.9 decaying by
 from __future__ import annotations
 
 from collections import defaultdict
-from typing import Optional
-
 import jax.numpy as jnp
 import numpy as np
 

@@ -14,8 +14,7 @@ torch.hub, which requires network access).
 from __future__ import annotations
 
 import functools
-import math
-from typing import Callable, Optional
+from typing import Callable
 
 import flax.linen as nn
 import jax

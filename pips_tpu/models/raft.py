@@ -17,14 +17,11 @@ upstream too).
 from __future__ import annotations
 
 import math
-from typing import Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
 from pips_tpu.models.encoder import Conv, instance_norm
-from pips_tpu.ops.corr import fused_corr_sample
 from pips_tpu.ops.grids import coords_grid
 from pips_tpu.ops.resize import avg_pool2x2
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 import json
 import os
 import time
-from typing import Mapping, Optional
+from typing import Mapping
 
 
 def _try_tensorboard(log_dir: str):
