@@ -24,7 +24,8 @@ from pips_tpu.models import Pips
 
 def main(init_dir: str = "checkpoints/ref", davis_dir: str = "/data/davis",
          S: int = 8, stride: int = 8, iters: int = 6, chunk: int = 256,
-         resize_hw=(480, 1024), max_videos: int = 20, point_stride: int = 8):
+         resize_hw=(480, 1024), max_videos: int = 20, point_stride: int = 8,
+         out_dir: str = ""):
     model = Pips(S=S, stride=stride)
     params = load_params(model, init_dir)
 
@@ -68,6 +69,17 @@ def main(init_dir: str = "checkpoints/ref", davis_dir: str = "/data/davis",
         all_tps.append(tps)
         print(f"{os.path.basename(vd)}: full_time {full_time:.2f}s; "
               f"step {np.mean(step_times):.3f}s; TPS {tps:.0f}")
+        if out_dir:  # GIF dump (reference test_on_davis.py writes summaries)
+            from pips_tpu.utils.improc import draw_trajs_on_rgbs2, write_gif
+            os.makedirs(out_dir, exist_ok=True)
+            trajs_np = np.concatenate(trajs, axis=2)[0, :, :len(xy)]  # (S,N,2)
+            vis_np = 1.0 / (1.0 + np.exp(-np.concatenate(viss, axis=2)[0, :, :len(xy)]))
+            sub = slice(0, None, 16)  # thin the dense grid for drawing
+            frames = draw_trajs_on_rgbs2(
+                np.clip(rgbs[0], 0, 255).astype(np.uint8),
+                trajs_np[:, sub], vis_np[:, sub])
+            write_gif(os.path.join(out_dir, f"{os.path.basename(vd)}.gif"),
+                      list(frames), fps=8)
     print(f"mean TPS over {len(all_tps)} videos: {np.mean(all_tps):.0f}")
     return {"mean_tps": float(np.mean(all_tps))}
 

@@ -66,9 +66,23 @@ def _build_tracker(modeltype: str, init_dir: str, S: int, stride: int, iters: in
         import torch
 
         patch = 8
-        sd = torch.load(init_dir, map_location="cpu", weights_only=False)
-        if isinstance(sd, dict) and "state_dict" in sd:
-            sd = sd["state_dict"]
+        import os
+        if init_dir and os.path.exists(init_dir):
+            sd = torch.load(init_dir, map_location="cpu", weights_only=False)
+            if isinstance(sd, dict) and "state_dict" in sd:
+                sd = sd["state_dict"]
+        else:
+            # reference behavior: pull ViT-S/8 from torch.hub
+            # (test_on_flt.py:245-248); needs network access
+            try:
+                sd = torch.hub.load("facebookresearch/dino:main",
+                                    "dino_vits8").state_dict()
+            except Exception as e:
+                raise FileNotFoundError(
+                    f"dino checkpoint {init_dir!r} not found and torch.hub "
+                    f"fetch failed ({e}); download "
+                    "dino_deitsmall8_pretrain.pth from the DINO release and "
+                    "pass --init_dir <path>") from e
         sd = {k: v.numpy() for k, v in sd.items()}
         variables = convert_dino_vit_state_dict(
             sd, grid_hw=(crop_size[0] // patch, crop_size[1] // patch))

@@ -145,8 +145,14 @@ class ChainTracker:
                 if t + 1 >= T:
                     continue
                 skips = self.select_fn(vis_p.T, S=S)  # (K,)
-                for j, n in enumerate(group):
-                    nxt = t + int(skips[j])
-                    if nxt < T:
-                        queue[nxt].append(n)
+                # vectorized requeue: bucket points by next window start
+                # (dense-grid regime runs this with K in the thousands)
+                nxts = t + skips[:K].astype(np.int64)
+                ids = np.asarray(group, np.int64)[nxts < T]
+                nxts = nxts[nxts < T]
+                order = np.argsort(nxts, kind="stable")
+                ids, nxts = ids[order], nxts[order]
+                uniq, starts = np.unique(nxts, return_index=True)
+                for u, bucket in zip(uniq, np.split(ids, starts[1:])):
+                    queue[int(u)].extend(bucket.tolist())
         return trajs, vis_out

@@ -143,11 +143,19 @@ class ResidualBlock(nn.Module):
 
 
 class BasicEncoder(nn.Module):
-    """Stride-``stride`` feature encoder producing ``output_dim`` channels."""
+    """Stride-``stride`` feature encoder producing ``output_dim`` channels.
+
+    ``remat=True`` rematerializes each residual block (and the stem) on the
+    backward pass: only block *inputs* are saved, so the encoder's backward
+    working set drops from every intermediate activation at 1/2-1/16 res to
+    one tensor per stage — the piece that made the production-config step
+    (4hv, N=768, 384x512) exceed single-chip HBM without grad accumulation.
+    """
     output_dim: int = 128
     stride: int = 8
     stage_dims: Sequence[int] = (64, 96, 128, 128)
     dtype: Any = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -157,14 +165,17 @@ class BasicEncoder(nn.Module):
         if self.dtype is not None:
             x = x.astype(self.dtype)
 
-        x = StemConv(self.stage_dims[0], dtype=self.dtype, name="conv1")(x)
+        stem_cls = nn.remat(StemConv) if self.remat else StemConv
+        block_cls = nn.remat(ResidualBlock) if self.remat else ResidualBlock
+
+        x = stem_cls(self.stage_dims[0], dtype=self.dtype, name="conv1")(x)
         x = nn.relu(instance_norm(x))
 
         feats = []
         for i, dim in enumerate(self.stage_dims):
             stride = 1 if i == 0 else 2
-            x = ResidualBlock(dim, stride, dtype=self.dtype, name=f"layer{i + 1}_0")(x)
-            x = ResidualBlock(dim, 1, dtype=self.dtype, name=f"layer{i + 1}_1")(x)
+            x = block_cls(dim, stride, dtype=self.dtype, name=f"layer{i + 1}_0")(x)
+            x = block_cls(dim, 1, dtype=self.dtype, name=f"layer{i + 1}_1")(x)
             feats.append(resize_bilinear_align_corners(x, out_hw))
 
         x = jnp.concatenate(feats, axis=-1)

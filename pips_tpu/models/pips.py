@@ -59,10 +59,14 @@ class Pips(nn.Module):
                                # to whole-step remat)
     remat_corr: bool = False   # rematerialize the per-iteration corr volumes
                                # ((B,S,N,H,W) x levels x iters) on backward
+    remat_encoder: bool = False  # per-block encoder remat: drops the encoder
+                                 # backward working set to one tensor per
+                                 # stage (full-batch production step fits a
+                                 # single chip; see encoder.BasicEncoder)
 
     def setup(self):
         self.fnet = BasicEncoder(output_dim=self.latent_dim, stride=self.stride,
-                                 dtype=self.dtype)
+                                 dtype=self.dtype, remat=self.remat_encoder)
         delta_cls = nn.remat(DeltaBlock) if self.remat_mixer else DeltaBlock
         self.delta_block = delta_cls(
             latent_dim=self.latent_dim,

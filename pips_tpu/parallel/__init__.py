@@ -1,5 +1,9 @@
-from pips_tpu.parallel.mesh import (batch_pspecs, make_mesh, make_sharded_forward,
-                                    make_sharded_train_step, replicate, shard_batch)
+from pips_tpu.parallel.mesh import (batch_pspecs, default_mesh_shape,
+                                    distributed_init, make_hybrid_mesh,
+                                    make_mesh, make_sharded_forward,
+                                    make_sharded_train_step, replicate,
+                                    shard_batch)
 
-__all__ = ["batch_pspecs", "make_mesh", "make_sharded_forward",
+__all__ = ["batch_pspecs", "default_mesh_shape", "distributed_init",
+           "make_hybrid_mesh", "make_mesh", "make_sharded_forward",
            "make_sharded_train_step", "replicate", "shard_batch"]

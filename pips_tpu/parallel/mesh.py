@@ -30,6 +30,18 @@ DATA_AXIS = "data"
 POINT_AXIS = "point"
 
 
+def default_mesh_shape(ndev: int, B: int, N: int) -> tuple[int, int]:
+    """Largest (data, point) mesh whose axes divide the batch/point dims.
+
+    Prefers data parallelism, then spends leftover devices on the point
+    axis (e.g. 8 devices, B=4, N=768 -> (4, 2); B=1, N=16 -> (1, 8)).
+    """
+    import math
+    d = math.gcd(B, ndev)
+    p = math.gcd(N, ndev // d)
+    return (d, p)
+
+
 def make_mesh(shape: Optional[Sequence[int]] = None,
               devices: Optional[Sequence[Any]] = None) -> Mesh:
     """Mesh over (data, point). Default: all devices on the data axis."""
@@ -39,6 +51,46 @@ def make_mesh(shape: Optional[Sequence[int]] = None,
     n = int(np.prod(shape))
     assert n <= len(devices), (shape, len(devices))
     dev_array = mesh_utils.create_device_mesh(tuple(shape), devices=devices[:n])
+    return Mesh(dev_array, (DATA_AXIS, POINT_AXIS))
+
+
+def distributed_init(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Multi-host entry: join the JAX distributed runtime.
+
+    On TPU pod slices all arguments are auto-detected from the environment;
+    pass them explicitly for manual launches (e.g. the 2-process CPU test).
+    Safe to call once per process, before any other JAX call.
+    """
+    kwargs = {}
+    if coordinator:
+        kwargs["coordinator_address"] = coordinator
+    if num_processes:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None and process_id >= 0:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+
+
+def make_hybrid_mesh(ici_shape: Sequence[int],
+                     dcn_data: Optional[int] = None) -> Mesh:
+    """Multi-host mesh: the data axis spans DCN (one slice per host group),
+    the point axis stays inside each slice's ICI domain.
+
+    ici_shape: per-slice (data, point) shape; dcn_data: number of slices on
+    the data axis (default: ``jax.process_count()``). Gradient psums ride
+    DCN only on the replicated-param reduction; point-axis collectives stay
+    on ICI — the layout SURVEY §2f calls for.
+    """
+    dcn_data = dcn_data or jax.process_count()
+    # granule = what a "DCN island" is: TPU multi-slice jobs expose
+    # slice_index; single-slice multi-host (and the CPU test harness)
+    # group by process instead
+    slices = {getattr(d, "slice_index", 0) for d in jax.devices()}
+    by_process = len(slices) != dcn_data
+    dev_array = mesh_utils.create_hybrid_device_mesh(
+        tuple(ici_shape), (dcn_data, 1), process_is_granule=by_process)
     return Mesh(dev_array, (DATA_AXIS, POINT_AXIS))
 
 
@@ -58,7 +110,15 @@ def batch_pspecs(grad_acc: int = 1) -> dict[str, P]:
 
 
 def shard_batch(mesh: Mesh, batch: dict, grad_acc: int = 1) -> dict:
+    """Place a host batch on the mesh. Single-process: a sharded device_put.
+    Multi-process: each host contributes its process-local slice of the
+    global batch (``jax.make_array_from_process_local_data``), so every host
+    loads only the data its own devices consume."""
     specs = batch_pspecs(grad_acc)
+    if jax.process_count() > 1:
+        return {k: jax.make_array_from_process_local_data(
+                    NamedSharding(mesh, specs[k]), v)
+                for k, v in batch.items()}
     return {k: jax.device_put(v, NamedSharding(mesh, specs[k])) for k, v in batch.items()}
 
 

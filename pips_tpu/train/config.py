@@ -46,6 +46,7 @@ class TrainConfig:
     # summaries
     log_dir: str = "logs_train"
     log_freq: int = 4000
+    log_media: bool = True   # emit traj GIF + score-map render every log_freq
     metrics_every: int = 10  # host-sync metrics every K steps (device_get is
                              # a round-trip; the reference syncs every step)
     profile_dir: str = ""    # capture a jax.profiler trace of steps 10-15
@@ -60,11 +61,20 @@ class TrainConfig:
     ignore_load: Optional[str] = None
     # device
     mesh_shape: Optional[Sequence[int]] = None  # e.g. (8,) data-parallel; None = all devices
+    # multi-host: set multihost=true on every process of a pod slice (args
+    # auto-detected on TPU; pass coordinator/num_processes/process_id for
+    # manual launches). B is PER-HOST; the data axis spans hosts over DCN,
+    # the point axis stays on ICI (parallel/mesh.py:make_hybrid_mesh).
+    multihost: bool = False
+    coordinator: str = ""
+    num_processes: int = 0
+    process_id: int = -1
     dtype: str = "bfloat16"   # compute dtype for the model ("float32" for exactness)
     use_fused_corr: bool = False
     remat: bool = False        # whole-step remat (heavy on the compiler)
     remat_mixer: bool = True   # surgical DeltaBlock remat (cheap, big memory win)
     remat_corr: bool = True    # recompute corr volumes on backward
+    remat_encoder: bool = True  # per-block encoder remat (full-batch fits one chip)
     # smoke mode (reference train2.py --quick analog)
     quick: bool = False
 

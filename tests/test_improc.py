@@ -92,3 +92,42 @@ def test_colormap_2d_and_seq2color(rng):
     frames = draw_trajs_on_rgbs2(rgbs, trajs, vis)
     assert frames.shape == rgbs.shape
     assert frames.sum() > 0
+
+
+def test_flow2color(rng):
+    from pips_tpu.utils.improc import flow2color
+
+    flow = (rng.randn(2, 16, 24, 2) * 20).astype(np.float32)
+    out = flow2color(flow, clip=50.0)
+    assert out.shape == (2, 16, 24, 3) and out.dtype == np.uint8
+
+    # zero flow -> black (value = radius = 0)
+    assert flow2color(np.zeros((4, 4, 2), np.float32)).max() == 0
+
+    # HSV->RGB matches matplotlib's converter
+    try:
+        from matplotlib.colors import hsv_to_rgb
+    except ImportError:
+        return
+    f = np.clip(flow[0], -50, 50) / 50.0
+    radius = np.clip(np.sqrt((f ** 2).sum(-1)), 0, 1)
+    hue = np.clip((np.arctan2(f[..., 1], f[..., 0]) / np.pi + 1) / 2, 0, 1)
+    hsv = np.stack([hue, np.full_like(hue, 0.75), radius], -1)
+    want = (hsv_to_rgb(hsv) * 255).astype(np.uint8)
+    assert np.abs(out[0].astype(int) - want.astype(int)).max() <= 1
+
+    # per-image normalization branch (clip=0)
+    out0 = flow2color(flow, clip=0.0)
+    assert out0.shape == (2, 16, 24, 3)
+
+
+def test_summ_flow(tmp_path, rng):
+    from pips_tpu.utils.improc import flow2color  # noqa: F401
+    writer = MetricWriter(str(tmp_path))
+    sw = Summ_writer(writer, global_step=100, log_freq=100)
+    flow = (rng.randn(16, 24, 2) * 5).astype(np.float32)
+    img = sw.summ_flow("t/flow", flow)
+    assert img.shape == (16, 24, 3)
+    frames = sw.summ_flows("t/flows", [flow, flow * 2])
+    assert frames.shape == (2, 16, 24, 3)
+    writer.close()

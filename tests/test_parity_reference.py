@@ -118,6 +118,85 @@ def test_train_losses_parity(reference_pips, ported, inputs):
 
 
 @requires_reference
+def test_trained_weights_rollout_parity(inputs):
+    """Port fidelity beyond random init (VERDICT r1 #3): train the torch
+    reference for a few Adam steps on synthetic data so the weights develop
+    trained-like statistics, port, and compare a full iters=6 rollout.
+
+    Random-init parity is necessary but not sufficient — iterated corr
+    lookups through floor() discontinuities can amplify tiny drifts on
+    weights with structure. This pins the port on a non-degenerate point
+    of weight space at full iteration depth.
+    """
+    if REFERENCE_DIR not in sys.path:
+        sys.path.insert(0, REFERENCE_DIR)
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    from nets.pips import Pips as TorchPips
+
+    torch.manual_seed(126)
+    model_t = TorchPips(S=8, stride=8)
+    model_t.train()
+
+    rgbs, xys, trajs_g, vis_g, valids = inputs
+    t_rgbs = torch.from_numpy(rgbs).permute(0, 1, 4, 2, 3)
+    opt = torch.optim.AdamW(model_t.parameters(), lr=3e-4)
+    for _ in range(8):
+        opt.zero_grad()
+        _, _, _, losses = model_t(
+            torch.from_numpy(xys), t_rgbs, iters=2,
+            trajs_g=torch.from_numpy(trajs_g), vis_g=torch.from_numpy(vis_g),
+            valids=torch.from_numpy(valids), is_train=True)
+        seq, vis, ce = losses
+        total = seq + 10.0 * vis + ce
+        total.backward()
+        opt.step()
+    model_t.eval()
+
+    # full-depth rollout on held-out inputs
+    rng = np.random.RandomState(21)
+    B, S, H, W, N = 1, 8, 160, 224, 16
+    rgbs2 = (rng.rand(B, S, H, W, 3) * 255).astype(np.float32)
+    xys2 = (rng.rand(B, N, 2) * [W - 32, H - 32] + 16).astype(np.float32)
+    with torch.no_grad():
+        preds, _, vis_e, ffeat, _ = model_t(
+            torch.from_numpy(xys2),
+            torch.from_numpy(rgbs2).permute(0, 1, 4, 2, 3),
+            iters=6, return_feat=True)
+
+    from pips_tpu.models import Pips
+    from pips_tpu.torchport import convert_pips_state_dict
+    sd = {k: v.detach().numpy() for k, v in model_t.state_dict().items()}
+    params = {"params": convert_pips_state_dict(sd, mixer_depth=12)}
+    model = Pips(S=8, stride=8)
+    with jax.default_matmul_precision("highest"):
+        out = model.apply(params, jnp.asarray(xys2), jnp.asarray(rgbs2), iters=6)
+
+    want = torch.stack(preds).numpy()               # (I, B, S, N, 2)
+    got = np.asarray(out.coord_predictions)
+    err = np.abs(got - want)
+    # numerical-chaos policy (docs/TESTING.md): tight agreement on the first
+    # refinement, bounded drift afterwards — a coordinate straddling a
+    # floor() grid line flips its corr patch and diverges by design; demand
+    # that stays rare and everything else agrees to fp noise
+    assert err[0].max() < 5e-3, err[0].max()        # first iteration: tight
+    assert np.median(err) < 2e-3, np.median(err)    # typical point: fp noise
+    # a perfect port still bifurcates on grid-line points at full depth
+    # (~16% of coords drift >0.1px here, in BOTH directions of comparison);
+    # what a port BUG produces is systematic error — caught by the median
+    # and the magnitude bound
+    assert (err > 0.5).mean() < 0.10, (err > 0.5).mean()
+    assert err.max() < 5.0, err.max()
+    verr = np.abs(np.asarray(out.vis_e) - vis_e.numpy())
+    # vis logits read the ffeats AFTER 6 residual updates — feature drift
+    # accumulates like coords; 0.05 logits ~ 1% in sigmoid space
+    assert np.median(verr) < 5e-2 and (verr > 0.5).mean() < 0.10, (
+        np.median(verr), (verr > 0.5).mean())
+    # ffeat has no iterated lookup — plain tolerance
+    np.testing.assert_allclose(np.asarray(out.ffeat), ffeat.numpy(),
+                               rtol=5e-3, atol=5e-3)
+
+
+@requires_reference
 def test_feat_init_coords_init_parity(reference_pips, ported, inputs):
     """Chaining-relevant plumbing: coords_init + feat_init paths match."""
     rgbs, xys, _, _, _ = inputs

@@ -57,6 +57,48 @@ def test_sharded_train_step_matches_single_device():
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=1e-3, atol=1e-5)
 
 
+def test_sharded_grad_acc_matches_single_device():
+    """grad_acc=2 microbatching on the mesh applies the same summed grads as
+    the same scan on one device (SGD(1.0) makes param deltas == grads —
+    Adam would amplify fp noise on near-zero entries)."""
+    import optax
+
+    model = Pips(**TINY)
+    ds = SyntheticPointDataset(S=4, N=16, H=64, W=96, seed=13)
+    batch_np = next(batch_iterator(ds, batch_size=4, num_workers=2))
+    micro_np = {k: v.reshape(2, 2, *v.shape[1:]) for k, v in batch_np.items()}
+
+    tx = optax.sgd(1.0)
+    rgbs0 = jnp.zeros((1, model.S, 64, 96, 3))
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 16, 2)), rgbs0, iters=1)
+
+    state1 = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+    step1 = jax.jit(make_train_step(model, tx, iters=1, horz_flip=False,
+                                    vert_flip=False, grad_acc=2))
+    state1, metrics1 = step1(state1, {k: jnp.asarray(v) for k, v in micro_np.items()})
+
+    mesh = make_mesh((2, 2))
+    state2 = jax.device_put(
+        TrainState.create(apply_fn=model.apply, params=params, tx=tx),
+        replicate(mesh))
+    step2 = make_sharded_train_step(model, tx, mesh, iters=1,
+                                    horz_flip=False, vert_flip=False,
+                                    grad_acc=2, donate_state=False)
+    state2, metrics2 = step2(state2, shard_batch(mesh, micro_np, grad_acc=2))
+
+    np.testing.assert_allclose(float(metrics1["total_loss"]),
+                               float(metrics2["total_loss"]), rtol=1e-4)
+    g1 = jax.tree.map(lambda a, b: a - b, params, state1.params)
+    g2 = jax.tree.map(lambda a, b: a - b, params, state2.params)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        a, b = np.asarray(a), np.asarray(b)
+        # noise floor covers zero-true-grad biases (instance-norm cancels
+        # them); cross-device psum reassociation raises it vs the 1-device
+        # case. A summed-vs-averaged regression is 2x on O(10) grads.
+        atol = 5e-4 + 1e-5 * np.abs(a).max()
+        np.testing.assert_allclose(b, a, rtol=1e-3, atol=atol)
+
+
 def test_sharded_forward_points_axis():
     model = Pips(**TINY)
     state = _state(model, N=16)
@@ -77,3 +119,12 @@ def test_sharded_forward_points_axis():
     np.testing.assert_allclose(np.asarray(trajs),
                                np.asarray(out.coord_predictions[-1]),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_default_mesh_shape():
+    from pips_tpu.parallel import default_mesh_shape
+    assert default_mesh_shape(8, 4, 768) == (4, 2)
+    assert default_mesh_shape(8, 1, 16) == (1, 8)   # --quick on a v5e-8
+    assert default_mesh_shape(8, 8, 768) == (8, 1)
+    assert default_mesh_shape(8, 3, 7) == (1, 1)    # nothing divides: 1 device
+    assert default_mesh_shape(1, 4, 768) == (1, 1)

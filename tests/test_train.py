@@ -69,15 +69,72 @@ def test_train_step_reduces_loss(tiny_batch):
 
 
 def test_grad_acc_matches_sum(tiny_batch):
+    """The scan-accumulated grad_acc step applies exactly the SUM of the
+    per-microbatch gradients (torch ``backward()`` accumulation semantics,
+    reference ``train.py:298-325``)."""
+    import optax
+    from pips_tpu.train.step import train_loss_fn
+
     model = Pips(**TINY)
-    state = make_tiny_state(model)
+    # SGD(1.0) makes param deltas EQUAL the applied grads — Adam would
+    # amplify fp-reassociation noise on near-zero entries (m/sqrt(v) is
+    # scale-invariant) and mask a real summed-vs-averaged regression.
+    tx = optax.sgd(1.0)
+    rgbs0 = jnp.zeros((1, model.S, 64, 96, 3))
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 8, 2)), rgbs0, iters=1)
+    state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
     batch = {k: jnp.asarray(v) for k, v in tiny_batch.items()}
-    # grad_acc=2 with the two samples as microbatches vs ... just check it runs
     micro = {k: v.reshape(2, 1, *v.shape[1:]) for k, v in batch.items()}
-    step2 = jax.jit(make_train_step(model, state.tx, iters=1, horz_flip=False,
+
+    # oracle: independent per-microbatch grads, summed
+    grad_fn = jax.jit(jax.grad(lambda p, b: train_loss_fn(model, p, b, 1)[0]))
+    g0 = grad_fn(state.params, {k: v[0] for k, v in micro.items()})
+    g1 = grad_fn(state.params, {k: v[1] for k, v in micro.items()})
+    summed = jax.tree.map(jnp.add, g0, g1)
+
+    step2 = jax.jit(make_train_step(model, tx, iters=1, horz_flip=False,
                                     vert_flip=False, grad_acc=2))
     state2, metrics2 = step2(state, micro)
     assert np.isfinite(float(metrics2["total_loss"]))
+    applied = jax.tree.map(lambda a, b: a - b, state.params, state2.params)
+    # tolerances are magnitude-scaled: scan-compiled vs separately-jitted
+    # grads differ by fp reassociation proportional to the leaf's grad scale
+    # (stem kernel grads are O(50)), and biases feeding instance norm have
+    # *exactly zero* true gradient, leaving only cancellation noise (~1e-4).
+    # A summed-vs-averaged regression is a 2x error and still fails loudly.
+    for want, got in zip(jax.tree.leaves(summed), jax.tree.leaves(applied)):
+        want, got = np.asarray(want), np.asarray(got)
+        atol = 1e-4 + 1e-5 * np.abs(want).max()
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=atol)
+
+
+def test_train_step_bf16_reduces_loss(tiny_batch):
+    """bf16 mixed-precision training (params f32, compute bf16) optimizes."""
+    model = Pips(dtype=jnp.bfloat16, **TINY)
+    state = make_tiny_state(model, lr=3e-4)
+    assert all(p.dtype == jnp.float32 for p in jax.tree.leaves(state.params))
+    step = jax.jit(make_train_step(model, state.tx, iters=2,
+                                   horz_flip=False, vert_flip=False))
+    batch = {k: jnp.asarray(v) for k, v in tiny_batch.items()}
+    losses = []
+    for _ in range(8):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["total_loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+    # grads landed in f32 params
+    assert all(p.dtype == jnp.float32 for p in jax.tree.leaves(state.params))
+
+
+def test_resolve_dtype_wiring():
+    """cfg.dtype reaches the model (regression: it was a dead flag)."""
+    from pips_tpu.train.config import TrainConfig
+    from pips_tpu.train.loop import resolve_dtype
+    assert resolve_dtype("float32") is None
+    assert resolve_dtype("bfloat16") == jnp.bfloat16
+    assert resolve_dtype(TrainConfig().dtype) in (None, jnp.bfloat16)
+    with pytest.raises(ValueError):
+        resolve_dtype("float16")
 
 
 def test_saverloader_roundtrip(tmp_path, tiny_batch):
