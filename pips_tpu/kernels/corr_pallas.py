@@ -86,7 +86,12 @@ def sample_corr_onehot(corrs: list[jnp.ndarray], coords: jnp.ndarray,
         H, W = corr.shape[-2], corr.shape[-1]
         c = coords / (2.0 ** lvl)
         oy, ox, wx, wy = _integer_patch_onehots(c, H, W, radius)
-        # row-select then column-select: two batched matmuls
+        # row-select then column-select: two batched matmuls. One-hot values
+        # (0/1) are exact in any dtype; selection sums pick single elements,
+        # so matching the score maps' dtype (bf16 in mixed precision) costs
+        # no accuracy and halves the volume read.
+        oy = oy.astype(corr.dtype)
+        ox = ox.astype(corr.dtype)
         rows = jnp.einsum("bsngh,bsnhw->bsngw", oy, corr)
         g = jnp.einsum("bsnkw,bsngw->bsngk", ox, rows)
         out.append(_bilinear_from_integer_patch(g, wx, wy, radius))
@@ -94,27 +99,35 @@ def sample_corr_onehot(corrs: list[jnp.ndarray], coords: jnp.ndarray,
 
 
 def _corr_sample_kernel(coords_ref, fmap_ref, targets_ref, out_ref, corr_scratch,
-                        *, H: int, W: int, C: int, TN: int, radius: int,
-                        scale: float):
-    """Grid step (s, n_tile): fmap (H*W, C) and targets (TN, C) in VMEM.
+                        *, H: int, W: int, Wp: int, C: int, TN: int,
+                        radius: int, scale: float):
+    """Grid step (s, n_tile): fmap (H*Wp, C) and targets (TN, C) in VMEM.
+
+    ``W`` is the level's real width; ``Wp`` the lane-aligned (128-multiple)
+    padded width the caller zero-pads the feature map to. Padding keeps every
+    level on the cheap path: G one-hot ROW selections over the (TN, H, Wp)
+    score tile + G^2 (TN, Wp) column reductions. (The pre-padding fallback did
+    G^2 = 64 masked reductions over the FULL flat tile on non-aligned levels —
+    measured as the kernel's dominant cost.) Zero-padded fmap columns produce
+    zero scores and the column one-hots never select x >= W, so results are
+    unchanged.
 
     Mosaic-constraint notes: 3D broadcast-compares, minor-dim reshapes of
     small tiles, in-kernel gathers, and batched dot_generals are all rejected
-    by the TPU compiler. The integer patch is extracted in two stages of
-    statically-unrolled masked reductions (2D iota/compare only): G one-hot
-    row selections over the (TN, H, W) score tile, then G^2 cheap column
-    reductions over the (TN, W) rows — after one MXU matmul.
+    by the TPU compiler; everything below is 2D iota/compare + statically
+    unrolled masked reductions after one MXU matmul.
     """
     r = radius
     P = 2 * r + 1
     G = P + 1  # integer patch side
+    acc_dtype = corr_scratch.dtype
 
     # MXU: scores for the whole level, kept in VMEM scratch (never to HBM)
     corr_scratch[:] = jax.lax.dot_general(
         targets_ref[0], fmap_ref[0],
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale  # (TN, H*W)
+        preferred_element_type=acc_dtype,
+    ) * acc_dtype.type(scale)  # (TN, H*Wp)
 
     c = coords_ref[0]  # (TN, 2)
     x0f = jnp.floor(c[:, 0:1])
@@ -125,37 +138,21 @@ def _corr_sample_kernel(coords_ref, fmap_ref, targets_ref, out_ref, corr_scratch
     y0 = y0f.astype(jnp.int32)
 
     g = [[None] * G for _ in range(G)]
-    if W % 128 == 0:
-        # fast path (lane-aligned W): G one-hot ROW selections over the 3D
-        # tile, then G^2 cheap (TN, W) column reductions
-        m3 = corr_scratch[:].reshape(TN, H, W)
-        hh = jax.lax.broadcasted_iota(jnp.int32, (TN, H), 1)
-        ww = jax.lax.broadcasted_iota(jnp.int32, (TN, W), 1)
-        rows = []  # per patch row a: (TN, W), zero outside bounds
+    m3 = corr_scratch[:].reshape(TN, H, Wp)
+    hh = jax.lax.broadcasted_iota(jnp.int32, (TN, H), 1)
+    ww = jax.lax.broadcasted_iota(jnp.int32, (TN, Wp), 1)
+    rows = []  # per patch row a: (TN, Wp), zero outside bounds
+    for a in range(G):
+        yy = y0 - r + a  # (TN, 1)
+        oy = ((hh == yy) & (yy >= 0) & (yy <= H - 1)).astype(acc_dtype)
+        rows.append(jnp.sum(m3 * oy[:, :, None], axis=1))
+    for b in range(G):
+        xx = x0 - r + b
+        ox = ((ww == xx) & (xx >= 0) & (xx <= W - 1)).astype(acc_dtype)
         for a in range(G):
-            yy = y0 - r + a  # (TN, 1)
-            oy = ((hh == yy) & (yy >= 0) & (yy <= H - 1)).astype(jnp.float32)
-            rows.append(jnp.sum(m3 * oy[:, :, None], axis=1))
-        for b in range(G):
-            xx = x0 - r + b
-            ox = ((ww == xx) & (xx >= 0) & (xx <= W - 1)).astype(jnp.float32)
-            for a in range(G):
-                g[a][b] = jnp.sum(rows[a] * ox, axis=1, keepdims=True)
-    else:
-        # general path: Mosaic rejects sub-lane minor dims in the 3D multiply,
-        # so extract each patch cell with a flat one-hot masked reduction
-        kk = jax.lax.broadcasted_iota(jnp.int32, (TN, H * W), 1)
-        m = corr_scratch[:]
-        for a in range(G):
-            yy = y0 - r + a
-            row_ok = (yy >= 0) & (yy <= H - 1)
-            for b in range(G):
-                xx = x0 - r + b
-                ok = row_ok & (xx >= 0) & (xx <= W - 1)
-                idx = jnp.clip(yy, 0, H - 1) * W + jnp.clip(xx, 0, W - 1)
-                sel = (kk == idx) & ok
-                g[a][b] = jnp.sum(m * sel.astype(jnp.float32), axis=1,
-                                  keepdims=True)
+            # exactly one nonzero element per row -> no accumulation error
+            g[a][b] = jnp.sum(rows[a] * ox, axis=1,
+                              keepdims=True).astype(jnp.float32)
 
     # bilinear combine; out[i, j] = sample at (x + o_i, y + o_j) uses
     # g[j..j+1][i..i+1] (reference transposed offset ordering), i-major
@@ -169,12 +166,12 @@ def _corr_sample_kernel(coords_ref, fmap_ref, targets_ref, out_ref, corr_scratch
     out_ref[0] = jnp.concatenate(pieces, axis=1)  # (TN, P*P)
 
 
-def _pick_tile_n(tile_n: int, N: int, H: int, W: int, C: int,
-                 budget_bytes: int = 10 * 1024 * 1024) -> int:
+def _pick_tile_n(tile_n: int, N: int, H: int, Wp: int, C: int,
+                 item: int, budget_bytes: int = 10 * 1024 * 1024) -> int:
     """Largest power-of-two tile that keeps (double-buffered fmap block +
     score scratch + iota/mask temporaries) under the VMEM budget."""
-    fmap_bytes = 2 * H * W * C * 4  # double-buffered across grid steps
-    per_point = H * W * 4 * 3       # scratch + iota + mask temporary
+    fmap_bytes = 2 * H * Wp * C * item  # double-buffered across grid steps
+    per_point = H * Wp * item * 3       # scratch + iota + mask temporary
     tn = min(tile_n, N)
     while tn > 8 and fmap_bytes + tn * per_point > budget_bytes:
         tn //= 2
@@ -185,11 +182,21 @@ def corr_sample_pallas_level(fmap: jnp.ndarray, targets: jnp.ndarray,
                              coords: jnp.ndarray, radius: int = 3,
                              tile_n: int = 128) -> jnp.ndarray:
     """One pyramid level, batch folded: fmap (S, H, W, C), targets (S, N, C),
-    coords (S, N, 2) at THIS level's scale -> (S, N, P*P)."""
+    coords (S, N, 2) at THIS level's scale -> (S, N, P*P).
+
+    The level is zero-padded to a lane-aligned width (Wp = next multiple of
+    128) so the in-kernel score tile reshapes cleanly; scores in the padding
+    are zero and never selected. Scores accumulate in the feature dtype
+    (bf16 in mixed precision — halves the VMEM read volume of the masked
+    reductions; selections are exact in any dtype).
+    """
     S, H, W, C = fmap.shape
     N = targets.shape[1]
     P = 2 * radius + 1
-    TN = _pick_tile_n(tile_n, N, H, W, C)
+    Wp = -(-W // 128) * 128
+    acc_dtype = jnp.bfloat16 if fmap.dtype == jnp.bfloat16 else jnp.float32
+    item = 2 if acc_dtype == jnp.bfloat16 else 4
+    TN = _pick_tile_n(tile_n, N, H, Wp, C, item)
     if N % TN:  # pad points up to a tile multiple
         pad = TN - N % TN
         targets = jnp.concatenate([targets, targets[:, :1].repeat(pad, 1)], 1)
@@ -197,9 +204,11 @@ def corr_sample_pallas_level(fmap: jnp.ndarray, targets: jnp.ndarray,
         out = corr_sample_pallas_level(fmap, targets, coords, radius, TN)
         return out[:, :N]
     scale = 1.0 / math.sqrt(C)
+    if Wp != W:
+        fmap = jnp.pad(fmap, ((0, 0), (0, 0), (0, Wp - W), (0, 0)))
 
-    kernel = functools.partial(_corr_sample_kernel, H=H, W=W, C=C, TN=TN,
-                               radius=radius, scale=scale)
+    kernel = functools.partial(_corr_sample_kernel, H=H, W=W, Wp=Wp, C=C,
+                               TN=TN, radius=radius, scale=scale)
     grid = (S, N // TN)
     return pl.pallas_call(
         kernel,
@@ -207,7 +216,7 @@ def corr_sample_pallas_level(fmap: jnp.ndarray, targets: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((1, TN, 2), lambda s, n: (s, n, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H * W, C), lambda s, n: (s, 0, 0),
+            pl.BlockSpec((1, H * Wp, C), lambda s, n: (s, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TN, C), lambda s, n: (s, n, 0),
                          memory_space=pltpu.VMEM),
@@ -215,8 +224,8 @@ def corr_sample_pallas_level(fmap: jnp.ndarray, targets: jnp.ndarray,
         out_specs=pl.BlockSpec((1, TN, P * P), lambda s, n: (s, n, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((S, N, P * P), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((TN, H * W), jnp.float32)],
-    )(coords.reshape(S, N, 2), fmap.reshape(S, H * W, C), targets)
+        scratch_shapes=[pltpu.VMEM((TN, H * Wp), acc_dtype)],
+    )(coords.reshape(S, N, 2), fmap.reshape(S, H * Wp, C), targets)
 
 
 def corr_sample_pallas(pyramid: list[jnp.ndarray], targets: jnp.ndarray,

@@ -59,8 +59,53 @@ class ChannelMixFF(nn.Module):
         return x
 
 
+class _LNParams(nn.Module):
+    """Parameter-tree twin of nn.LayerNorm (scale/bias); used when the math
+    runs in the fused Pallas block instead of the flax module. Same param
+    paths + initializers -> checkpoints and the torch port interop."""
+
+    @nn.compact
+    def __call__(self, d):
+        s = self.param("scale", nn.initializers.ones, (d,))
+        b = self.param("bias", nn.initializers.zeros, (d,))
+        return s, b
+
+
+class _DenseParams(nn.Module):
+    """Parameter-tree twin of nn.Dense (kernel/bias)."""
+    features: int
+
+    @nn.compact
+    def __call__(self, d_in):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (d_in, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
+class _ChanFFParams(nn.Module):
+    """Parameter-tree twin of ChannelMixFF."""
+    dim: int
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self):
+        w1, b1 = _DenseParams(self.dim * self.expansion, name="fc1")(self.dim)
+        w2, b2 = _DenseParams(self.dim, name="fc2")(self.dim * self.expansion)
+        return w1, b1, w2, b2
+
+
 class MLPMixer(nn.Module):
-    """input (B, S, input_dim) -> (B, output_dim); mean-pooled over S at the end."""
+    """input (B, S, input_dim) -> (B, output_dim); mean-pooled over S at the end.
+
+    ``fuse_chanff=True`` runs each channel block (LN -> fc1 -> GELU -> fc2 ->
+    residual) as ONE fused Pallas kernel with a custom VJP
+    (``pips_tpu.kernels.mixer_pallas``): weights stay VMEM-resident, no
+    intermediate touches HBM. Parameters are identical either way. The fused
+    block keeps LN/GELU/accumulation in f32 (slightly MORE precise than the
+    unfused bf16 path), so enable it only where bf16-level tolerance is
+    acceptable — i.e. the mixed-precision compute path, not f32 parity runs.
+    """
     S: int
     input_dim: int
     dim: int
@@ -68,6 +113,7 @@ class MLPMixer(nn.Module):
     depth: int
     expansion: int = 4
     dtype: Any = None
+    fuse_chanff: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -79,9 +125,20 @@ class MLPMixer(nn.Module):
             x = x + TokenMixFF(self.S, self.expansion, dtype=self.dtype,
                                name=f"block{d}_token")(
                 LN(f"block{d}_token_norm")(x).astype(x.dtype))
-            x = x + ChannelMixFF(self.dim, self.expansion, dtype=self.dtype,
-                                 name=f"block{d}_chan")(
-                LN(f"block{d}_chan_norm")(x).astype(x.dtype))
+            if self.fuse_chanff:
+                s_, b_ = _LNParams(name=f"block{d}_chan_norm")(self.dim)
+                w1, b1, w2, b2 = _ChanFFParams(
+                    self.dim, self.expansion, name=f"block{d}_chan")()
+                from pips_tpu.kernels.mixer_pallas import (chan_ff_block,
+                                                           chan_ff_reference)
+                Bn, S_, D_ = x.shape
+                fn = chan_ff_reference if self.is_initializing() else chan_ff_block
+                x = fn(x.reshape(Bn * S_, D_), s_, b_, w1, b1, w2,
+                       b2).reshape(Bn, S_, D_)
+            else:
+                x = x + ChannelMixFF(self.dim, self.expansion, dtype=self.dtype,
+                                     name=f"block{d}_chan")(
+                    LN(f"block{d}_chan_norm")(x).astype(x.dtype))
         x = LN("final_norm")(x)
         x = jnp.mean(x, axis=1)  # (B, dim)
         return nn.Dense(self.output_dim, dtype=self.dtype, name="head")(x)
@@ -100,6 +157,7 @@ class DeltaBlock(nn.Module):
     mixer_dim: int = 512
     mixer_depth: int = 12
     dtype: Any = None
+    fuse_chanff: bool = False
 
     @nn.compact
     def __call__(self, fhid: jnp.ndarray, fcorr: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
@@ -116,6 +174,7 @@ class DeltaBlock(nn.Module):
             output_dim=self.S * (self.latent_dim + 2),
             depth=self.mixer_depth,
             dtype=self.dtype,
+            fuse_chanff=self.fuse_chanff,
             name="to_delta",
         )(x)
         return delta.reshape(Bn, self.S, self.latent_dim + 2)

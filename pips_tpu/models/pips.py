@@ -29,8 +29,9 @@ import jax.numpy as jnp
 
 from pips_tpu.models.encoder import BasicEncoder
 from pips_tpu.models.mixer import DeltaBlock, gelu
-from pips_tpu.ops.corr import (build_fmap_pyramid, corr_pyramid, fcp_score_maps,
-                               fused_corr_sample, sample_corr_pyramid)
+from pips_tpu.ops.corr import (build_fmap_pyramid, corr_pyramid, fcp_from_fused,
+                               fused_corr_sample, fused_pyramid_fmap,
+                               sample_corr_pyramid)
 from pips_tpu.ops.samp import bilinear_sample2d
 
 
@@ -63,6 +64,10 @@ class Pips(nn.Module):
                                  # backward working set to one tensor per
                                  # stage (full-batch production step fits a
                                  # single chip; see encoder.BasicEncoder)
+    fuse_chanff: bool = False  # fused Pallas channel-FF mixer blocks
+                               # (kernels/mixer_pallas.py): one kernel +
+                               # custom VJP per block, weights VMEM-resident.
+                               # Enable on the TPU bf16 compute path.
 
     def setup(self):
         self.fnet = BasicEncoder(output_dim=self.latent_dim, stride=self.stride,
@@ -76,6 +81,7 @@ class Pips(nn.Module):
             mixer_dim=self.mixer_dim,
             mixer_depth=self.mixer_depth,
             dtype=self.dtype,
+            fuse_chanff=self.fuse_chanff,
         )
         # GroupNorm(1, C) on (B*, C) == LayerNorm over C with affine, eps 1e-5
         self.ffeat_norm = nn.LayerNorm(epsilon=1e-5)
@@ -135,6 +141,11 @@ class Pips(nn.Module):
 
         coords_bak = coords
 
+        # train-time score maps come from ONE einsum against the fused
+        # pyramid map (linearity of corr+resize; see ops.corr.fused_pyramid_
+        # fmap) instead of per-iteration upsampling of per-point volumes
+        fm_fcp = fused_pyramid_fmap(pyramid, (H8, W8)) if compute_fcp else None
+
         times = jnp.broadcast_to(
             jnp.linspace(0.0, float(S), S).reshape(1, S, 1), (B * N, S, 1))
 
@@ -155,7 +166,11 @@ class Pips(nn.Module):
 
                 def corr_chunk(ffeats_c, coords_c):
                     corrs = corr_pyramid(pyramid, ffeats_c)
-                    fcp = fcp_score_maps(corrs, (H8, W8))
+                    # score volumes feed only the patch sampler; in mixed
+                    # precision write them bf16 (XLA fuses the convert into
+                    # the dot output) — halves the step's largest HBM tensor
+                    corrs = [c.astype(fmaps.dtype) for c in corrs]
+                    fcp = fcp_from_fused(fm_fcp, ffeats_c)
                     fc = sample_corr_onehot(corrs, coords_c, self.corr_radius)
                     return fcp, fc
 
@@ -173,7 +188,8 @@ class Pips(nn.Module):
                 fcorrs = fused_corr_sample(pyramid, ffeats, coords, self.corr_radius)
             elif mode == "onehot":
                 from pips_tpu.kernels.corr_pallas import sample_corr_onehot
-                corrs = corr_pyramid(pyramid, ffeats)
+                corrs = [c.astype(fmaps.dtype)
+                         for c in corr_pyramid(pyramid, ffeats)]
                 fcorrs = sample_corr_onehot(corrs, coords, self.corr_radius)
             elif mode == "pallas":
                 from pips_tpu.kernels.corr_pallas import corr_sample_pallas

@@ -150,6 +150,35 @@ def fused_corr_sample(pyramid: list[jnp.ndarray], targets: jnp.ndarray,
     return jnp.concatenate(out, axis=-1)
 
 
+def fused_pyramid_fmap(pyramid: list[jnp.ndarray], out_hw: tuple[int, int]) -> jnp.ndarray:
+    """Sum of pyramid levels, each align-corners-upsampled to ``out_hw``.
+
+    Key linearity identity: corr is linear in the feature map and the
+    align-corners resize is linear over (h, w), so the train-time score maps
+    ``sum_l resize(corr_l)`` (reference ``nets/pips.py:504-510``) equal a
+    single corr einsum against this fused map. Computing the fused map ONCE
+    per window replaces per-iteration upsampling of L-1 per-point
+    (B, S, N, H8, W8) score volumes — the train step's HBM hot spot — with
+    one (B, S, H8, W8, C) tensor a few MB in size.
+
+    pyramid: list of (B, S, H_l, W_l, C) -> (B, S, H8, W8, C).
+    """
+    acc = None
+    for fm in pyramid:
+        up = resize_bilinear_align_corners(fm, out_hw)
+        acc = up if acc is None else acc + up
+    return acc
+
+
+def fcp_from_fused(fm_fcp: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """fcp score maps from the fused pyramid map: (B,S,N,H8,W8) f32 logits.
+
+    Numerically equal (up to fp reassociation) to
+    ``fcp_score_maps(corr_pyramid(pyramid, targets), out_hw)``.
+    """
+    return corr_pyramid([fm_fcp], targets)[0]
+
+
 def fcp_score_maps(corrs: list[jnp.ndarray], out_hw: tuple[int, int]) -> jnp.ndarray:
     """Sum of corr levels, each align-corners-upsampled to ``out_hw``.
 

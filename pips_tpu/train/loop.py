@@ -96,7 +96,7 @@ def train(cfg: Optional[TrainConfig] = None) -> dict:
                  mixer_dim=cfg.mixer_dim, mixer_depth=cfg.mixer_depth,
                  dtype=resolve_dtype(cfg.dtype),
                  remat_mixer=cfg.remat_mixer, remat_corr=cfg.remat_corr,
-                 remat_encoder=cfg.remat_encoder)
+                 remat_encoder=cfg.remat_encoder, fuse_chanff=cfg.fuse_chanff)
     state = init_state(cfg, model)
 
     ckpt_dir = f"{cfg.ckpt_dir}/{name}"
