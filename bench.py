@@ -68,7 +68,8 @@ def main(quick: bool = False):
 
     def measure_train(dtype):
         """Serialized train-step time + FLOPs for one compute dtype."""
-        model = Pips(S=S, stride=8, dtype=dtype)
+        fuse = dtype == jnp.bfloat16  # fused mixer kernel: bf16 path only
+        model = Pips(S=S, stride=8, dtype=dtype, fuse_chanff=fuse)
         params = model.init(rng, jnp.ones((1, 4, 2)),
                             jnp.zeros((1, S, 64, 64, 3)), iters=1)
         state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
@@ -156,7 +157,8 @@ def main(quick: bool = False):
     infer_tps = Ni * S / infer_time
 
     infer_time_bf16 = time_chain(
-        make_bench_chain(Pips(S=S, stride=8, dtype=jnp.bfloat16)))
+        make_bench_chain(Pips(S=S, stride=8, dtype=jnp.bfloat16,
+                              fuse_chanff=True)))
     infer_tps_bf16 = Ni * S / infer_time_bf16
 
     print(json.dumps({
