@@ -15,6 +15,7 @@ Architecture (norm_fn='instance' is what Pips uses):
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Sequence
 
 import flax.linen as nn
@@ -27,6 +28,7 @@ from pips_tpu.ops.resize import resize_bilinear_align_corners
 kaiming_out = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
 def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     """Non-affine instance norm over spatial dims. x: (B, H, W, C).
 
@@ -35,14 +37,45 @@ def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     computed in float32 regardless of compute dtype; mean and second moment
     come from one fused reduction pass (E[x^2]-E[x]^2) — the two-pass form
     measured 2.2 ms per call at 1/2-res on v5e.
+
+    Custom VJP: autodiff through the stats materializes several full-size
+    f32 intermediates per norm (the encoder backward's hot spot in mixed
+    precision); the hand-derived backward
+    ``dx = rsig * (dy - mean(dy) - y * mean(dy*y))``
+    is two fused reduction passes with all HBM tensors in the compute dtype.
     """
+    y, _ = _in_fwd(x, eps)
+    return y
+
+
+def _in_stats(x, eps):
     xf = x.astype(jnp.float32)
     # both reductions read x independently -> XLA multi-output fusion does one
     # pass (the (x-mean)^2 form serializes two full passes)
     mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
     mean_sq = jnp.mean(jnp.square(xf), axis=(1, 2), keepdims=True)
     var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
-    return ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+    rsig = jax.lax.rsqrt(var + eps)
+    return ((xf - mean) * rsig).astype(x.dtype), rsig
+
+
+def _in_fwd(x, eps):
+    y, rsig = _in_stats(x, eps)
+    return y, (y, rsig)
+
+
+def _in_bwd(eps, res, dy):
+    y, rsig = res
+    n = y.shape[1] * y.shape[2]
+    dyf = dy.astype(jnp.float32)
+    yf = y.astype(jnp.float32)
+    m1 = jnp.sum(dyf, axis=(1, 2), keepdims=True) / n
+    m2 = jnp.sum(dyf * yf, axis=(1, 2), keepdims=True) / n
+    dx = (rsig * (dyf - m1 - yf * m2)).astype(dy.dtype)
+    return (dx,)
+
+
+instance_norm.defvjp(_in_fwd, _in_bwd)
 
 
 class Conv(nn.Module):

@@ -73,6 +73,7 @@ def score_map_loss_single_iter(fcp: jnp.ndarray, trajs_g: jnp.ndarray,
     ~35% of the bf16 train step's HBM time).
     """
     B, S, N, H8, W8 = fcp.shape
+    fcp = fcp.astype(jnp.float32)  # logits may arrive bf16 (mixed precision)
     xy = jnp.round(trajs_g)  # half-to-even, same as torch.round
     x = xy[..., 0]
     y = xy[..., 1]
@@ -105,6 +106,7 @@ def score_map_loss(fcps: jnp.ndarray, trajs_g: jnp.ndarray, vis_g: jnp.ndarray,
     are the single gt cell, negatives all other cells of selected maps.
     """
     B, S, I, N, H8, W8 = fcps.shape
+    fcps = fcps.astype(jnp.float32)  # logits may arrive bf16 (mixed precision)
     xy = jnp.round(trajs_g)  # half-to-even, same as torch.round
     x = xy[..., 0]
     y = xy[..., 1]

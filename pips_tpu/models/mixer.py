@@ -31,18 +31,26 @@ def gelu(x):
 
 
 class TokenMixFF(nn.Module):
-    """FeedForward across the token (S) axis: Dense(S->S*f) -> GELU -> Dense(->S)."""
+    """FeedForward across the token (S) axis: Dense(S->S*f) -> GELU -> Dense(->S).
+
+    Expressed as einsums contracting the middle (S) axis directly — the
+    explicit swapaxes pair materialized two (B, D, S) copies per block per
+    iteration (measured ~2.6 ms/step of pure layout copies at bench config);
+    einsum lets XLA fold the layout change into the dot."""
     tokens: int
     expansion: int = 4
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x):  # x: (B, S, D)
-        x = jnp.swapaxes(x, 1, 2)  # (B, D, S)
-        x = nn.Dense(self.tokens * self.expansion, dtype=self.dtype, name="fc1")(x)
-        x = gelu(x)
-        x = nn.Dense(self.tokens, dtype=self.dtype, name="fc2")(x)
-        return jnp.swapaxes(x, 1, 2)
+        w1 = _DenseParams(self.tokens * self.expansion, name="fc1")(self.tokens)
+        w2 = _DenseParams(self.tokens, name="fc2")(self.tokens * self.expansion)
+        cd = self.dtype or x.dtype
+        # h kept in (B, D, E) — the dot's natural output order, no transpose
+        h = jnp.einsum("bsd,se->bde", x.astype(cd), w1[0].astype(cd))
+        h = gelu(h + w1[1].astype(cd))
+        o = jnp.einsum("bde,es->bsd", h, w2[0].astype(cd))
+        return o + w2[1].astype(cd)[None, :, None]
 
 
 class ChannelMixFF(nn.Module):
@@ -117,9 +125,23 @@ class MLPMixer(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        if self.dtype is not None:
-            x = x.astype(self.dtype)
-        x = nn.Dense(self.dim, dtype=self.dtype, name="embed")(x)
+        # x: (B, S, input_dim), or a tuple of tensors whose last dims sum to
+        # input_dim — the embed matmul is then computed as a sum of per-part
+        # matmuls against slices of the SAME kernel (param tree unchanged),
+        # so the (B, S, kitchen) concat is never materialized.
+        parts = tuple(x) if isinstance(x, (tuple, list)) else (x,)
+        assert sum(p.shape[-1] for p in parts) == self.input_dim
+        w, b = _DenseParams(self.dim, name="embed")(self.input_dim)
+        cd = self.dtype or parts[0].dtype
+        wc = w.astype(cd)
+        acc = None
+        off = 0
+        for p in parts:
+            k = p.shape[-1]
+            term = p.astype(cd) @ wc[off:off + k]
+            off += k
+            acc = term if acc is None else acc + term
+        x = acc + b.astype(cd)
         for d in range(self.depth):
             # LayerNorm statistics in float32; FF compute in self.dtype
             x = x + TokenMixFF(self.S, self.expansion, dtype=self.dtype,
@@ -166,10 +188,10 @@ class DeltaBlock(nn.Module):
         Bn, S, D = flow.shape
         assert D == 3
         flow_sincos = get_3d_embedding(flow, 64, cat_coords=True)  # (B*, S, 195)
-        x = jnp.concatenate([fhid, fcorr, flow_sincos], axis=2)
+        x = (fhid, fcorr, flow_sincos)  # concat folded into the embed matmul
         delta = MLPMixer(
             S=self.S,
-            input_dim=x.shape[-1],
+            input_dim=sum(p.shape[-1] for p in x),
             dim=self.mixer_dim,
             output_dim=self.S * (self.latent_dim + 2),
             depth=self.mixer_depth,

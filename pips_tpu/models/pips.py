@@ -170,7 +170,10 @@ class Pips(nn.Module):
                     # precision write them bf16 (XLA fuses the convert into
                     # the dot output) — halves the step's largest HBM tensor
                     corrs = [c.astype(fmaps.dtype) for c in corrs]
-                    fcp = fcp_from_fused(fm_fcp, ffeats_c)
+                    # fcp also materializes in the compute dtype (convert
+                    # fuses into the dot output); the CE loss upcasts
+                    # pointwise inside its fused reduction
+                    fcp = fcp_from_fused(fm_fcp, ffeats_c).astype(fmaps.dtype)
                     fc = sample_corr_onehot(corrs, coords_c, self.corr_radius)
                     return fcp, fc
 

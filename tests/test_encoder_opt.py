@@ -83,3 +83,35 @@ def test_encoder_remat_same_params_and_grads():
         # residue is cancellation noise that differs across compilations
         atol = 1e-3 + 1e-5 * np.abs(a).max()
         np.testing.assert_allclose(b, a, rtol=1e-3, atol=atol)
+
+
+def test_instance_norm_custom_vjp_grads():
+    """Hand-derived IN backward == autodiff of the plain formula."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from pips_tpu.models.encoder import instance_norm
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 6, 5, 4) * 3 + 1, jnp.float32)
+
+    def plain(x, eps=1e-5):
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+        var = jnp.maximum(
+            jnp.mean(jnp.square(xf), axis=(1, 2), keepdims=True)
+            - jnp.square(mean), 0.0)
+        return ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+
+    np.testing.assert_allclose(np.asarray(instance_norm(x)),
+                               np.asarray(plain(x)), rtol=1e-6, atol=1e-6)
+
+    def loss_c(x):
+        return jnp.sum(jnp.sin(instance_norm(x) * 1.7))
+
+    def loss_p(x):
+        return jnp.sum(jnp.sin(plain(x) * 1.7))
+
+    gc = np.asarray(jax.grad(loss_c)(x))
+    gp = np.asarray(jax.grad(loss_p)(x))
+    np.testing.assert_allclose(gc, gp, rtol=1e-4, atol=1e-5)
