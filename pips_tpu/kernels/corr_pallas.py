@@ -122,12 +122,13 @@ def _corr_sample_kernel(coords_ref, fmap_ref, targets_ref, out_ref, corr_scratch
     G = P + 1  # integer patch side
     acc_dtype = corr_scratch.dtype
 
-    # MXU: scores for the whole level, kept in VMEM scratch (never to HBM)
-    corr_scratch[:] = jax.lax.dot_general(
+    # MXU: scores for the whole level, kept in VMEM scratch (never to HBM).
+    # Mosaic requires a 32-bit matmul accumulator; the scratch may be bf16.
+    corr_scratch[:] = (jax.lax.dot_general(
         targets_ref[0], fmap_ref[0],
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=acc_dtype,
-    ) * acc_dtype.type(scale)  # (TN, H*Wp)
+        preferred_element_type=jnp.float32,
+    ) * scale).astype(acc_dtype)  # (TN, H*Wp)
 
     c = coords_ref[0]  # (TN, 2)
     x0f = jnp.floor(c[:, 0:1])
@@ -141,18 +142,19 @@ def _corr_sample_kernel(coords_ref, fmap_ref, targets_ref, out_ref, corr_scratch
     m3 = corr_scratch[:].reshape(TN, H, Wp)
     hh = jax.lax.broadcasted_iota(jnp.int32, (TN, H), 1)
     ww = jax.lax.broadcasted_iota(jnp.int32, (TN, Wp), 1)
+    # masks stay f32: Mosaic rejects bf16 minor-dim-1 reshapes/broadcasts;
+    # the savings come from the (TN, H, Wp) score tile itself being bf16
     rows = []  # per patch row a: (TN, Wp), zero outside bounds
     for a in range(G):
         yy = y0 - r + a  # (TN, 1)
-        oy = ((hh == yy) & (yy >= 0) & (yy <= H - 1)).astype(acc_dtype)
+        oy = ((hh == yy) & (yy >= 0) & (yy <= H - 1)).astype(jnp.float32)
         rows.append(jnp.sum(m3 * oy[:, :, None], axis=1))
     for b in range(G):
         xx = x0 - r + b
-        ox = ((ww == xx) & (xx >= 0) & (xx <= W - 1)).astype(acc_dtype)
+        ox = ((ww == xx) & (xx >= 0) & (xx <= W - 1)).astype(jnp.float32)
         for a in range(G):
             # exactly one nonzero element per row -> no accumulation error
-            g[a][b] = jnp.sum(rows[a] * ox, axis=1,
-                              keepdims=True).astype(jnp.float32)
+            g[a][b] = jnp.sum(rows[a] * ox, axis=1, keepdims=True)
 
     # bilinear combine; out[i, j] = sample at (x + o_i, y + o_j) uses
     # g[j..j+1][i..i+1] (reference transposed offset ordering), i-major
@@ -194,9 +196,11 @@ def corr_sample_pallas_level(fmap: jnp.ndarray, targets: jnp.ndarray,
     N = targets.shape[1]
     P = 2 * radius + 1
     Wp = -(-W // 128) * 128
-    acc_dtype = jnp.bfloat16 if fmap.dtype == jnp.bfloat16 else jnp.float32
-    item = 2 if acc_dtype == jnp.bfloat16 else 4
-    TN = _pick_tile_n(tile_n, N, H, Wp, C, item)
+    # scratch stays f32: Mosaic needs f32 matmul accumulators and rejects
+    # bf16 minor-dim broadcasts, so a bf16 tile would be upcast on the stack
+    # anyway (measured: it OOMs scoped VMEM instead of saving)
+    acc_dtype = jnp.float32
+    TN = _pick_tile_n(tile_n, N, H, Wp, C, 4)
     if N % TN:  # pad points up to a tile multiple
         pad = TN - N % TN
         targets = jnp.concatenate([targets, targets[:, :1].repeat(pad, 1)], 1)

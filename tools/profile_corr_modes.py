@@ -27,13 +27,17 @@ def chain_time(step_fn, carry0, reps=6):
         c, _ = jax.lax.scan(body, c0, None, length=n)
         return jax.tree.map(jnp.sum, c)
 
-    jax.block_until_ready(run(carry0, 1))
+    def sync(n):
+        return float(jax.device_get(jnp.sum(
+            jnp.asarray(jax.tree.leaves(run(carry0, n))[0], jnp.float32))))
+
+    sync(1)
     t0 = time.time()
-    jax.block_until_ready(run(carry0, 1))
+    sync(1)
     t1 = time.time() - t0
-    jax.block_until_ready(run(carry0, reps + 1))  # compile n=reps+1
+    sync(reps + 1)  # compile n=reps+1
     t0 = time.time()
-    jax.block_until_ready(run(carry0, reps + 1))
+    sync(reps + 1)
     tn = time.time() - t0
     return max(tn - t1, 1e-9) / reps
 
@@ -41,7 +45,8 @@ def chain_time(step_fn, carry0, reps=6):
 def main():
     dense = "--dense" in sys.argv
     small = "--small" in sys.argv
-    model = Pips(S=8, stride=8)
+    bf16 = "--bf16" in sys.argv
+    model = Pips(S=8, stride=8, dtype=jnp.bfloat16 if bf16 else None)
     rng = np.random.RandomState(0)
     Hi, Wi = (360, 640) if small else (480, 1024)
     N = 7680 if dense else 256
