@@ -75,8 +75,9 @@ class TrainConfig:
     remat_mixer: bool = True   # surgical DeltaBlock remat (cheap, big memory win)
     remat_corr: bool = True    # recompute corr volumes on backward
     remat_encoder: bool = True  # per-block encoder remat (full-batch fits one chip)
-    fuse_chanff: bool = False  # fused Pallas channel-FF mixer blocks (TPU only;
-                               # CPU runs would need pallas interpret mode)
+    fuse_chanff: int = -1  # fused Pallas channel-FF mixer blocks:
+                           # -1 auto (on iff TPU backend + bf16), 0 off, 1 on
+                           # (CPU runs would need pallas interpret mode)
     # smoke mode (reference train2.py --quick analog)
     quick: bool = False
 

@@ -54,6 +54,14 @@ def resolve_dtype(name: str):
     return table[name]
 
 
+def resolve_fuse_chanff(flag: int, dtype) -> bool:
+    """-1 auto: fused mixer kernel iff running on TPU with bf16 compute
+    (pallas compiles there and the bf16 tolerance applies); 0/1 force."""
+    if flag >= 0:
+        return bool(flag)
+    return dtype == jnp.bfloat16 and jax.default_backend() not in ("cpu",)
+
+
 def init_state(cfg: TrainConfig, model: Pips, rng_seed: int = 0) -> TrainState:
     rng = jax.random.PRNGKey(rng_seed)
     H, W = cfg.crop_size
@@ -96,7 +104,9 @@ def train(cfg: Optional[TrainConfig] = None) -> dict:
                  mixer_dim=cfg.mixer_dim, mixer_depth=cfg.mixer_depth,
                  dtype=resolve_dtype(cfg.dtype),
                  remat_mixer=cfg.remat_mixer, remat_corr=cfg.remat_corr,
-                 remat_encoder=cfg.remat_encoder, fuse_chanff=cfg.fuse_chanff)
+                 remat_encoder=cfg.remat_encoder,
+                 fuse_chanff=resolve_fuse_chanff(cfg.fuse_chanff,
+                                                 resolve_dtype(cfg.dtype)))
     state = init_state(cfg, model)
 
     ckpt_dir = f"{cfg.ckpt_dir}/{name}"

@@ -22,21 +22,36 @@ def main(trace_dir: str, top_n: int = 30):
         if "TPU" not in plane.name and "/device" not in plane.name.lower():
             continue
         meta = {m_id: m for m_id, m in plane.event_metadata.items()}
+        stat_meta = {m_id: m.name for m_id, m in plane.stat_metadata.items()}
         tot = collections.Counter()
         cnt = collections.Counter()
+        info = {}
         for line in plane.lines:
-            if "step" in line.name.lower():
+            if line.name != "XLA Ops":
                 continue
             for ev in line.events:
                 m = meta.get(ev.metadata_id)
                 name = (m.display_name or m.name) if m else str(ev.metadata_id)
+                if name.startswith(("while", "jit_")):
+                    continue
                 tot[name] += ev.duration_ps / 1e6  # -> us
                 cnt[name] += 1
+                if name not in info and m is not None:
+                    stats = {}
+                    for st in m.stats:
+                        k = stat_meta.get(st.metadata_id, "")
+                        v = (st.str_value or st.ref_value or st.int64_value
+                             or st.double_value)
+                        stats[k] = v
+                    info[name] = stats
         if not tot:
             continue
-        print(f"== plane: {plane.name}: {sum(tot.values()):.0f} us total")
+        print(f"== plane: {plane.name}: {sum(tot.values()):.0f} us leaf total")
         for name, us in tot.most_common(top_n):
-            print(f"{us:10.1f} us  x{cnt[name]:<5d} {name[:100]}")
+            st = info.get(name, {})
+            extra = str(st.get("hlo_op", st))[:160]
+            print(f"{us:10.1f} us  x{cnt[name]:<5d} {name[:60]}\n"
+                  f"             {extra}")
 
 
 if __name__ == "__main__":

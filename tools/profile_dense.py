@@ -8,17 +8,19 @@ from pips_tpu.models import Pips
 
 def chain_time(step_fn, carry0, reps=3):
     @functools.partial(jax.jit, static_argnames=("n",))
-    def run(c0, n):
+    def run(c0, eps, n):
         def body(c, _):
-            return step_fn(c), None
+            return step_fn(c + eps * 1e-6), None
         c, _ = jax.lax.scan(body, c0, None, length=n)
-        return jnp.sum(c)
+        return jnp.sum(c.astype(jnp.float32))
+    def sync(eps, n):
+        return float(jax.device_get(run(carry0, jnp.float32(eps), n)))
     for n in (1, reps + 1):
-        jax.block_until_ready(run(carry0, n))
+        sync(0.0, n)
     def best(n):
         b = float("inf")
-        for _ in range(3):
-            t0 = time.time(); jax.block_until_ready(run(carry0, n)); b = min(b, time.time()-t0)
+        for k in range(3):
+            t0 = time.time(); sync(k + 1.0, n); b = min(b, time.time() - t0)
         return b
     return max(best(reps + 1) - best(1), 1e-9) / reps
 
@@ -29,10 +31,12 @@ rgbs = jnp.asarray(rng.rand(1, 8, Hi, Wi, 3) * 255, jnp.float32)
 xys0 = jnp.asarray(rng.rand(1, N, 2) * [Wi - 8, Hi - 8] + 4, jnp.float32)
 lims = jnp.asarray([Wi - 8.0, Hi - 8.0])
 
-for name, dtype, mode in (("fp32 onehot", None, "onehot"),
-                          ("bf16 onehot", jnp.bfloat16, "onehot"),
-                          ("bf16 fused", jnp.bfloat16, "fused")):
-    model = Pips(S=8, stride=8, dtype=dtype)
+for name, dtype, mode, fuse in (("fp32 onehot", None, "onehot", False),
+                                ("bf16 onehot", jnp.bfloat16, "onehot", False),
+                                ("bf16 onehot+fusedmixer", jnp.bfloat16,
+                                 "onehot", True),
+                                ("bf16 fused", jnp.bfloat16, "fused", False)):
+    model = Pips(S=8, stride=8, dtype=dtype, fuse_chanff=fuse)
     if "params" not in dir():
         params = model.init(jax.random.PRNGKey(0), xys0[:, :8], rgbs[:, :, :64, :64], iters=1)
     fmaps = jax.jit(lambda p, r: model.apply(p, r, method=Pips.encode))(params, rgbs)
