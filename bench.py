@@ -102,7 +102,11 @@ def main(quick: bool = False):
         return step_time, flops, compile_time, model
 
     step_time_f32, flops_f32, compile_f32, _ = measure_train(None)
-    step_time_bf16, flops_bf16, compile_bf16, _ = measure_train(jnp.bfloat16)
+    step_time_bf16, flops_bf16_graph, compile_bf16, _ = measure_train(jnp.bfloat16)
+    # XLA cost analysis does not count FLOPs inside pallas custom calls (the
+    # bf16 graph runs the fused mixer kernel), so the kernel-free f32 graph's
+    # count is the canonical step FLOPs for MFU on both paths
+    flops_bf16 = flops_f32
 
     def mfu(flops, t):
         return flops / t / V5E_BF16_PEAK_FLOPS if (flops and t > 0) else 0.0

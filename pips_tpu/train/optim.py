@@ -28,18 +28,18 @@ def onecycle_linear(max_lr: float, total_steps: int, pct_start: float = 0.05,
 def make_optimizer(lr: float, num_steps: int, wdecay: float = 1e-4,
                    eps: float = 1e-8, clip: float = 5.0,
                    use_scheduler: bool = True,
-                   flatten: bool = True) -> optax.GradientTransformation:
+                   flatten: bool = False) -> optax.GradientTransformation:
     """Clip -> AdamW(schedule). ``num_steps`` is optimizer steps (after grad-accum).
 
     The reference passes ``total_steps = num_steps + 100`` to OneCycleLR
     (``train.py:27``); we keep that detail.
 
-    ``flatten=True`` wraps the chain in ``optax.flatten``: the update runs on
-    ONE concatenated vector instead of ~150 pytree leaves. Numerics are
-    identical (AdamW and global-norm clip are elementwise/global), but the
-    per-leaf op soup (~10 ops x 150 leaves, each with fixed TPU sequencer
-    overhead) collapses to a handful of fused full-vector ops — measured
-    ~2 ms off the bf16 train step on v5e.
+    ``flatten=True`` wraps the chain in ``optax.flatten`` (one fused update
+    on a concatenated vector; numerics identical). History: it saved ~2 ms
+    when the mixer ran as an XLA op soup, but flatten re-concatenates params
+    AND grads every step (2 x 110 MB, xplane-measured ~2.3 ms) — with the
+    fused mixer kernel the per-leaf form is faster (37.1 vs 39.5 ms bf16
+    train step), so the default is now False.
     """
     if use_scheduler:
         schedule = onecycle_linear(lr, num_steps + 100)
