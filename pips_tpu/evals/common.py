@@ -14,6 +14,17 @@ import jax
 from pips_tpu.models import Pips
 
 
+def make_pips(S: int = 8, stride: int = 8, dtype: str = "float32") -> Pips:
+    """Eval/serving model factory. ``--dtype bfloat16`` runs the bf16 compute
+    path (fused mixer kernel auto-enabled on TPU, ~1.6x faster windows);
+    default float32 keeps exact metric parity with the reference evals."""
+    import jax.numpy as jnp
+
+    dt = jnp.bfloat16 if dtype in ("bfloat16", "bf16") else None
+    fuse = dt is not None and jax.default_backend() not in ("cpu",)
+    return Pips(S=S, stride=stride, dtype=dt, fuse_chanff=fuse)
+
+
 def load_params(model: Pips, init_dir: str, example_hw=(64, 96)):
     """Load params from a pips_tpu checkpoint dir, a reference ``model-*.pth``
     file/dir (via the torch port), or ``"random"`` for a fresh init (smoke

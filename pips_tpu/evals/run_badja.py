@@ -21,8 +21,9 @@ from pips_tpu.models import Pips
 
 def main(init_dir: str = "checkpoints/ref", data_dir: str = "/data/badja_data",
          S: int = 8, stride: int = 4, iters: int = 6, max_iters: int = 7,
-         resize_hw=(320, 512)):
-    model = Pips(S=S, stride=stride)
+         resize_hw=(320, 512), dtype: str = "float32"):
+    from pips_tpu.evals.common import make_pips
+    model = make_pips(S=S, stride=stride, dtype=dtype)
     params = load_params(model, init_dir)
     chain = ChainTracker(model, params, iters=iters)
 

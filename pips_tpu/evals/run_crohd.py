@@ -25,8 +25,10 @@ from pips_tpu.utils import SimplePool
 
 def main(init_dir: str = "checkpoints/ref", dataset_root: str = "/data/head_tracking",
          S: int = 8, N: int = 16, stride: int = 4, iters: int = 6,
-         max_iters: int = 0, req_occlusion: bool = True, dset: str = "t"):
-    model = Pips(S=S, stride=stride)
+         max_iters: int = 0, req_occlusion: bool = True, dset: str = "t",
+         dtype: str = "float32"):
+    from pips_tpu.evals.common import make_pips
+    model = make_pips(S=S, stride=stride, dtype=dtype)
     params = load_params(model, init_dir)
 
     dataset = CrohdDataset(seqlen=S * 3, dset=dset, dataset_root=dataset_root)

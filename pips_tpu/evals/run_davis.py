@@ -25,8 +25,9 @@ from pips_tpu.models import Pips
 def main(init_dir: str = "checkpoints/ref", davis_dir: str = "/data/davis",
          S: int = 8, stride: int = 8, iters: int = 6, chunk: int = 256,
          resize_hw=(480, 1024), max_videos: int = 20, point_stride: int = 8,
-         out_dir: str = ""):
-    model = Pips(S=S, stride=stride)
+         out_dir: str = "", dtype: str = "float32"):
+    from pips_tpu.evals.common import make_pips
+    model = make_pips(S=S, stride=stride, dtype=dtype)
     params = load_params(model, init_dir)
 
     video_dirs = sorted(glob.glob(os.path.join(davis_dir, "JPEGImages/Full-Resolution/*")))

@@ -24,10 +24,11 @@ from pips_tpu.utils.logging import MetricWriter
 
 
 def _build_tracker(modeltype: str, init_dir: str, S: int, stride: int, iters: int,
-                   crop_size=(384, 512)):
+                   crop_size=(384, 512), dtype: str = "float32"):
     """Returns fn(trajs_g0 (1,N,2), rgbs (1,S,H,W,3)) -> trajs_e (1,S,N,2)."""
     if modeltype == "pips":
-        model = Pips(S=S, stride=stride)
+        from pips_tpu.evals.common import make_pips
+        model = make_pips(S=S, stride=stride, dtype=dtype)
         params = load_params(model, init_dir)
 
         @jax.jit
@@ -96,9 +97,10 @@ def _build_tracker(modeltype: str, init_dir: str, S: int, stride: int, iters: in
 def main(init_dir: str = "checkpoints/ref", dataset_location: str = "/data/flyingthings",
          S: int = 8, N: int = 16, stride: int = 8, iters: int = 6,
          crop_size=(384, 512), max_iters: int = 0, log_dir: str = "logs_test_on_flt",
-         subset: str = "all", shuffle: bool = True, modeltype: str = "pips"):
+         subset: str = "all", shuffle: bool = True, modeltype: str = "pips",
+         dtype: str = "float32"):
     tracker = _build_tracker(modeltype, init_dir, S, stride, iters,
-                             crop_size=tuple(crop_size))
+                             crop_size=tuple(crop_size), dtype=dtype)
 
     dataset = FlyingThingsDataset(
         dataset_location=dataset_location, dset="TEST", subset=subset,
