@@ -119,3 +119,42 @@ def test_bfloat16_forward_close_to_fp32(small_model):
                - np.asarray(out32.coord_predictions[-1]))
     assert d.max() < 0.5, d.max()
     assert np.median(d) < 0.1
+
+
+def test_fuse_chanff_model_equivalence(small_model):
+    """Full model with the fused mixer kernel == unfused, in bf16, including
+    gradients through the train loss (custom VJP path)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    _, params, xys, rgbs = small_model
+    kw = dict(S=4, stride=8, latent_dim=16, corr_levels=3, corr_radius=2,
+              mixer_dim=32, mixer_depth=2, dtype=jnp.bfloat16)
+    m0 = Pips(**kw, fuse_chanff=False)
+    m1 = Pips(**kw, fuse_chanff=True)
+
+    out0 = m0.apply(params, xys, rgbs, iters=2, corr_mode="onehot")
+    with pltpu.force_tpu_interpret_mode():
+        out1 = m1.apply(params, xys, rgbs, iters=2, corr_mode="onehot")
+    # chaos policy (docs/TESTING.md): the fused kernel computes LN/GELU in
+    # f32 internally, a bf16-ulp-level perturbation that iterated floor()
+    # corr lookups amplify on a few points — demand typical agreement and
+    # bounded, rare outliers rather than elementwise closeness
+    err = np.abs(np.asarray(out1.coord_predictions, np.float32)
+                 - np.asarray(out0.coord_predictions, np.float32))
+    assert np.median(err) < 0.1, np.median(err)
+    assert (err > 1.0).mean() < 0.25, (err > 1.0).mean()
+    assert err.max() < 10.0, err.max()
+
+    def loss(m):
+        def f(p):
+            out = m.apply(p, xys, rgbs, iters=1, is_train=True)
+            return jnp.mean(jnp.square(out.coord_predictions.astype(jnp.float32) - xys[None, :, None]))
+        return f
+
+    g0 = jax.grad(loss(m0))(params)
+    with pltpu.force_tpu_interpret_mode():
+        g1 = jax.grad(loss(m1))(params)
+    n0 = np.sqrt(sum(float(jnp.sum(jnp.square(x))) for x in jax.tree.leaves(g0)))
+    n1 = np.sqrt(sum(float(jnp.sum(jnp.square(x))) for x in jax.tree.leaves(g1)))
+    assert np.isfinite(n1) and n1 > 0
+    assert abs(n1 - n0) / n0 < 0.2, (n0, n1)
