@@ -50,7 +50,9 @@ def main(init_dir: str = "checkpoints/ref", images_dir: str = "./demo_images",
         xys = np.tile(np.array([[x0, y0]], np.float32), (N, 1))
 
     import jax.numpy as jnp
-    model = Pips(S=S, stride=stride, dtype=jnp.bfloat16 if bf16 else None)
+    from pips_tpu.evals.common import make_pips
+    model = make_pips(S=S, stride=stride,
+                  dtype="bfloat16" if bf16 else "float32")
     params = load_params(model, init_dir)
     if on_device:
         from pips_tpu.inference import ChainTrackerOnDevice

@@ -35,7 +35,9 @@ def main(init_dir: str = "checkpoints/ref", images_dir: str = "./demo_images",
     print(f"found {len(filenames)} frames")
 
     import jax.numpy as jnp
-    model = Pips(S=S, stride=stride, dtype=jnp.bfloat16 if bf16 else None)
+    from pips_tpu.evals.common import make_pips
+    model = make_pips(S=S, stride=stride,
+                  dtype="bfloat16" if bf16 else "float32")
     params = load_params(model, init_dir)
     tracker = WindowTracker(model, params, iters=iters)
 
