@@ -71,10 +71,14 @@ class TrainConfig:
     process_id: int = -1
     dtype: str = "bfloat16"   # compute dtype for the model ("float32" for exactness)
     use_fused_corr: bool = False
+    # remats: since the fused-fcp rewrite the production config (4hv N=768
+    # I=4 368x496 bf16) fits one v5e chip with NO remat (437 ms/step vs
+    # 559 ms all-remat; compile 42 s vs 407 s) — defaults off; enable for
+    # configs that exceed HBM (bigger crops / B / N per chip)
     remat: bool = False        # whole-step remat (heavy on the compiler)
-    remat_mixer: bool = True   # surgical DeltaBlock remat (cheap, big memory win)
-    remat_corr: bool = True    # recompute corr volumes on backward
-    remat_encoder: bool = True  # per-block encoder remat (full-batch fits one chip)
+    remat_mixer: bool = False  # surgical DeltaBlock remat
+    remat_corr: bool = False   # recompute corr volumes on backward
+    remat_encoder: bool = False  # per-block encoder remat
     fuse_chanff: int = -1  # fused Pallas channel-FF mixer blocks:
                            # -1 auto (on iff TPU backend + bf16), 0 off, 1 on
                            # (CPU runs would need pallas interpret mode)

@@ -20,9 +20,9 @@ from pips_tpu.train.step import TrainState, make_train_step
 B, S, N, I = 1, 8, 768, 4
 H, W = 368, 496  # reference train.py crop
 
-model = Pips(S=S, stride=8, dtype=jnp.bfloat16,
-             remat_mixer=True, remat_corr=True, remat_encoder=True,
-             fuse_chanff=True)
+# no remat: fits 15.75 GB since the fused-fcp rewrite (remat ablation in
+# profile_production2.py: none 437 ms > corr 443 > mix+corr 538 > all 559)
+model = Pips(S=S, stride=8, dtype=jnp.bfloat16, fuse_chanff=True)
 rng = jax.random.PRNGKey(0)
 params = model.init(rng, jnp.ones((1, 4, 2)), jnp.zeros((1, S, 64, 64, 3)),
                     iters=1)
