@@ -35,8 +35,8 @@ class TokenMixFF(nn.Module):
 
     Expressed as einsums contracting the middle (S) axis directly — the
     explicit swapaxes pair materialized two (B, D, S) copies per block per
-    iteration (measured ~2.6 ms/step of pure layout copies at bench config);
-    einsum lets XLA fold the layout change into the dot."""
+    iteration (part of the ~2.6 ms/step 'copy' family in the train-step
+    xplane trace); einsum lets XLA fold the layout change into the dot."""
     tokens: int
     expansion: int = 4
     dtype: Any = None
