@@ -27,7 +27,10 @@ def main():
     rgbs = sample["rgbs"]
     xys = sample["trajs"][0].astype(np.float32)
 
-    model = Pips(S=8, stride=8)
+    import jax.numpy as jnp
+    bf16 = "--bf16" in sys.argv
+    model = Pips(S=8, stride=8, dtype=jnp.bfloat16 if bf16 else None,
+                 fuse_chanff=bf16)
     params = model.init(jax.random.PRNGKey(0), xys[None, :8],
                         rgbs[None, :8, :64, :64], iters=1)
 
