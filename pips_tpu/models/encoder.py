@@ -99,14 +99,16 @@ class Conv(nn.Module):
 
 
 class _StemInner(nn.Module):
-    """7x7 stride-2 pad-3 conv executed via space-to-depth.
+    """7x7 stride-2 pad-3 conv; space-to-depth in f32, direct in bf16.
 
-    A direct stride-2 conv on 3 input channels leaves the 128-wide MXU
-    contraction ~97% idle (measured 6.95 ms for the stem at 8x480x1024 on
-    v5e). Rearranged to a 4x4 VALID conv on a 2x2-space-to-depth input
-    (12 channels), the same math runs as a dense matmul. Bit-equivalent to
-    the plain conv up to fp reassociation; parameters keep the torch-port
-    layout (kernel (7, 7, C, O)).
+    In f32, a direct stride-2 conv on 3 input channels leaves the 128-wide
+    MXU contraction ~97% idle (measured 6.95 ms for the stem at 8x480x1024
+    on v5e); rearranged to a 4x4 VALID conv on a 2x2-space-to-depth input
+    (12 channels) the same math runs as a dense matmul. In bf16 the ranking
+    FLIPS: the s2d transpose relayout dominates and the direct conv is 2x
+    faster (977 vs 1969 us at 8x384x512), so the bf16 path goes direct.
+    Bit-equivalent up to fp reassociation either way; parameters keep the
+    torch-port layout (kernel (7, 7, C, O)).
     """
     features: int
     dtype: Any = None
@@ -121,7 +123,7 @@ class _StemInner(nn.Module):
         k = kernel.astype(dt)
 
         B, H, W, _ = x.shape
-        if H % 2 or W % 2:  # odd sizes: fall back to the direct conv
+        if dt == jnp.bfloat16 or H % 2 or W % 2:
             y = jax.lax.conv_general_dilated(
                 x, k, (2, 2), ((3, 3), (3, 3)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
