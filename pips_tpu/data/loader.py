@@ -39,11 +39,17 @@ def batch_iterator(dataset, batch_size: int, shuffle: bool = True, seed: int = 1
             want = eff_batch - len(samples)
             if shuffle:
                 idxs = rng.randint(0, len(dataset), size=want * 2)
+                got = [s for s in pool.map(fetch, idxs) if s is not None]
+                samples.extend(got[:want])
             else:
-                idxs = np.arange(order_idx, order_idx + want * 2) % len(dataset)
-                order_idx += want * 2
-            got = [s for s in pool.map(fetch, idxs) if s is not None]
-            samples.extend(got[:want])
+                # Sequential mode (deterministic eval): visit every index
+                # exactly once per epoch — fetch exactly `want`, advance by
+                # what was fetched, and let failed samples drop out (the
+                # next inner-loop pass tops the batch up from later indices).
+                idxs = np.arange(order_idx, order_idx + want) % len(dataset)
+                order_idx += want
+                samples.extend(s for s in pool.map(fetch, idxs)
+                               if s is not None)
         batch = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
         if grad_acc > 1:
             batch = {k: v.reshape(grad_acc, batch_size, *v.shape[1:])

@@ -20,8 +20,10 @@ def make_pips(S: int = 8, stride: int = 8, dtype: str = "float32") -> Pips:
     default float32 keeps exact metric parity with the reference evals."""
     import jax.numpy as jnp
 
+    from pips_tpu.kernels import fused_kernels_supported
+
     dt = jnp.bfloat16 if dtype in ("bfloat16", "bf16") else None
-    fuse = dt is not None and jax.default_backend() not in ("cpu",)
+    fuse = dt is not None and fused_kernels_supported()
     return Pips(S=S, stride=stride, dtype=dt, fuse_chanff=fuse)
 
 

@@ -123,7 +123,9 @@ def _corr_sample_kernel(coords_ref, fmap_ref, targets_ref, out_ref, corr_scratch
     acc_dtype = corr_scratch.dtype
 
     # MXU: scores for the whole level, kept in VMEM scratch (never to HBM).
-    # Mosaic requires a 32-bit matmul accumulator; the scratch may be bf16.
+    # Mosaic requires a 32-bit matmul accumulator; the scratch is also f32
+    # (callers pass acc_dtype=f32 — a bf16 scratch measured worse, see
+    # corr_sample_pallas_level).
     corr_scratch[:] = (jax.lax.dot_general(
         targets_ref[0], fmap_ref[0],
         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -188,9 +190,9 @@ def corr_sample_pallas_level(fmap: jnp.ndarray, targets: jnp.ndarray,
 
     The level is zero-padded to a lane-aligned width (Wp = next multiple of
     128) so the in-kernel score tile reshapes cleanly; scores in the padding
-    are zero and never selected. Scores accumulate in the feature dtype
-    (bf16 in mixed precision — halves the VMEM read volume of the masked
-    reductions; selections are exact in any dtype).
+    are zero and never selected. The score scratch is f32 regardless of the
+    feature dtype — see the acc_dtype comment below (a bf16 scratch was
+    tried and lost: Mosaic upcasts it on the stack and OOMs scoped VMEM).
     """
     S, H, W, C = fmap.shape
     N = targets.shape[1]

@@ -22,6 +22,7 @@ Numerics: LN statistics and normalization in f32 (matching
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import math
 
@@ -42,6 +43,24 @@ _ERF_ALPHA = (-2.72614225801306e-10, 2.77068142495902e-08,
 _ERF_BETA = (-1.45660718464996e-05, -2.13374055278905e-04,
              -1.68282697438203e-03, -7.37332916720468e-03,
              -1.42647390514189e-02)
+
+
+# Plain pallas interpreter (pure jax ops, NOT pltpu.force_tpu_interpret_mode's
+# io_callback emulator): the only mode that composes with SPMD partitioning,
+# so the multi-device CPU tests and dryrun can run the fused path under a
+# sharded jit. Trace-time flag; flip via interpret_mode().
+_INTERPRET = False
+
+
+@contextlib.contextmanager
+def interpret_mode():
+    global _INTERPRET
+    prev = _INTERPRET
+    _INTERPRET = True
+    try:
+        yield
+    finally:
+        _INTERPRET = prev
 
 
 def _erf_f32(x):
@@ -150,11 +169,25 @@ def _chanff_bwd_kernel(x_ref, dy_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref,
 def _row_tile(R: int) -> int:
     # (TR, F) f32 intermediates must fit Mosaic's ~16MB scoped-VMEM stack;
     # TR=256 keeps the bwd kernel's live set ~10MB while the MXU still gets
-    # full-height tiles
+    # full-height tiles. Callers pad R to a multiple of 128 first (_pad_rows),
+    # so a tile is always found — never fall back to TR=R, whose (R, F) f32
+    # intermediates blow the VMEM cap at large unaligned R (e.g. eval N=4800).
     for tr in (256, 128):
         if R % tr == 0:
             return tr
-    return R
+    raise ValueError(f"row count {R} not 128-aligned; pad with _pad_rows first")
+
+
+def _padded_rows(R: int) -> int:
+    return -(-R // 128) * 128
+
+
+def _pad_rows(a, Rp: int):
+    # Zero rows are safe: LN of a zero row is finite (var=0 -> rsqrt(eps)),
+    # and in the backward the padded dy rows are zero, so every weight-grad
+    # accumulator term (dxa, da1, dy) vanishes on them.
+    R = a.shape[0]
+    return a if Rp == R else jnp.pad(a, ((0, Rp - R), (0, 0)))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
@@ -183,11 +216,13 @@ def _prep(x, ln_scale, ln_bias, w1, b1, w2, b2):
 def _chanff_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2):
     R, D, F, cdtype, (g, b, w1c, b1r, w2c, b2r) = _prep(
         x, ln_scale, ln_bias, w1, b1, w2, b2)
-    TR = _row_tile(R)
+    Rp = _padded_rows(R)
+    xp = _pad_rows(x, Rp)
+    TR = _row_tile(Rp)
     const = lambda r: (0, 0)  # noqa: E731 — weights resident across tiles
     y = pl.pallas_call(
         functools.partial(_chanff_fwd_kernel, cdtype=cdtype),
-        grid=(R // TR,),
+        grid=(Rp // TR,),
         in_specs=[
             pl.BlockSpec((TR, D), lambda r: (r, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
@@ -199,8 +234,11 @@ def _chanff_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2):
         ],
         out_specs=pl.BlockSpec((TR, D), lambda r: (r, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((R, D), x.dtype),
-    )(x, g, b, w1c, b1r, w2c, b2r)
+        out_shape=jax.ShapeDtypeStruct((Rp, D), x.dtype),
+        interpret=_INTERPRET,
+    )(xp, g, b, w1c, b1r, w2c, b2r)
+    if Rp != R:
+        y = y[:R]
     return y, (x, ln_scale, ln_bias, w1, b1, w2, b2)
 
 
@@ -208,11 +246,13 @@ def _chanff_bwd(res, dy):
     x, ln_scale, ln_bias, w1, b1, w2, b2 = res
     R, D, F, cdtype, (g, b, w1c, b1r, w2c, _) = _prep(
         x, ln_scale, ln_bias, w1, b1, w2, b2)
-    TR = _row_tile(R)
+    Rp = _padded_rows(R)
+    xp = _pad_rows(x, Rp)
+    TR = _row_tile(Rp)
     const = lambda r: (0, 0)  # noqa: E731
     dx, dg, db, dw1, db1, dw2, db2 = pl.pallas_call(
         functools.partial(_chanff_bwd_kernel, cdtype=cdtype),
-        grid=(R // TR,),
+        grid=(Rp // TR,),
         in_specs=[
             pl.BlockSpec((TR, D), lambda r: (r, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TR, D), lambda r: (r, 0), memory_space=pltpu.VMEM),
@@ -232,7 +272,7 @@ def _chanff_bwd(res, dy):
             pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((R, D), x.dtype),
+            jax.ShapeDtypeStruct((Rp, D), x.dtype),
             jax.ShapeDtypeStruct((1, D), jnp.float32),
             jax.ShapeDtypeStruct((1, D), jnp.float32),
             jax.ShapeDtypeStruct((D, F), jnp.float32),
@@ -244,7 +284,10 @@ def _chanff_bwd(res, dy):
         # wide VMEM reservation starves OTHER fusions' tiling — measured 7x
         # slowdown of encoder instance-norm reduces with a 96MB limit here
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=24 * 2**20),
-    )(x, dy.astype(x.dtype), g, b, w1c, b1r, w2c)
+        interpret=_INTERPRET,
+    )(xp, _pad_rows(dy.astype(x.dtype), Rp), g, b, w1c, b1r, w2c)
+    if Rp != R:
+        dx = dx[:R]
     return (dx,
             dg.reshape(ln_scale.shape).astype(ln_scale.dtype),
             db.reshape(ln_bias.shape).astype(ln_bias.dtype),

@@ -57,9 +57,11 @@ def resolve_dtype(name: str):
 def resolve_fuse_chanff(flag: int, dtype) -> bool:
     """-1 auto: fused mixer kernel iff running on TPU with bf16 compute
     (pallas compiles there and the bf16 tolerance applies); 0/1 force."""
+    from pips_tpu.kernels import fused_kernels_supported
+
     if flag >= 0:
         return bool(flag)
-    return dtype == jnp.bfloat16 and jax.default_backend() not in ("cpu",)
+    return dtype == jnp.bfloat16 and fused_kernels_supported()
 
 
 def init_state(cfg: TrainConfig, model: Pips, rng_seed: int = 0) -> TrainState:

@@ -115,7 +115,10 @@ def make_train_step(model, tx: optax.GradientTransformation, iters: int = 4,
 
             zero = jax.tree.map(jnp.zeros_like, state.params)
             grads, metrics_seq = jax.lax.scan(scan_body, zero, batch)
-            metrics = jax.tree.map(lambda m: m[-1], metrics_seq)
+            # Mean over microbatches: the logged step metric covers the FULL
+            # effective batch (equal-size microbatches), matching the
+            # reference's full-batch metrics — not a 1/grad_acc sample.
+            metrics = jax.tree.map(lambda m: m.mean(axis=0), metrics_seq)
         new_state = state.apply_gradients(grads=grads)
         return new_state, metrics
 

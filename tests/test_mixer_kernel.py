@@ -89,3 +89,32 @@ def test_mixer_fused_param_tree_and_values():
     with pltpu.force_tpu_interpret_mode():
         y1 = np.asarray(m1.apply(p1, x), np.float32)
     np.testing.assert_allclose(y0, y1, rtol=5e-2, atol=5e-2)
+
+
+def test_unaligned_rows_pad_and_match(args):
+    """R not a multiple of 128 (e.g. eval-time N) pads with zero rows instead
+    of falling back to one giant (R, F) tile that blows the VMEM cap; fwd and
+    ALL grads must match the reference exactly as in the aligned case."""
+    x, s, b, w1, b1, w2, b2 = args
+    xu = jnp.concatenate([x, x[:44]])  # 300 = 2*128 + 44, unaligned
+    a = (xu, s, b, w1, b1, w2, b2)
+
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(chan_ff_block(*a))
+    want = np.asarray(chan_ff_reference(*a))
+    assert got.shape == (300, x.shape[1])
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    def loss_k(*aa):
+        return jnp.sum(jnp.square(chan_ff_block(*aa).astype(jnp.float32)) * 1e-2)
+
+    def loss_r(*aa):
+        return jnp.sum(jnp.square(chan_ff_reference(*aa).astype(jnp.float32)) * 1e-2)
+
+    with pltpu.force_tpu_interpret_mode():
+        gk = jax.grad(loss_k, argnums=tuple(range(7)))(*a)
+    gr = jax.grad(loss_r, argnums=tuple(range(7)))(*a)
+    for n, a_, b_ in zip(["x", "ln_scale", "ln_bias", "w1", "b1", "w2", "b2"],
+                         gk, gr):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-4, err_msg=n)

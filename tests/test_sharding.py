@@ -128,3 +128,68 @@ def test_default_mesh_shape():
     assert default_mesh_shape(8, 8, 768) == (8, 1)
     assert default_mesh_shape(8, 3, 7) == (1, 1)    # nothing divides: 1 device
     assert default_mesh_shape(1, 4, 768) == (1, 1)
+
+
+def test_sharded_bf16_fused_matches_single_device():
+    """The PRODUCTION config — bf16 compute + fused Pallas mixer kernel —
+    on the (4,2) mesh matches the same config on one device (r2 gap: every
+    mesh test ran f32/unfused; the deployed combination was never validated
+    on any mesh). Pallas runs in the plain jax interpreter on CPU (the
+    io_callback-based TPU emulator cannot be SPMD-partitioned)."""
+    from pips_tpu.kernels.mixer_pallas import interpret_mode
+
+    model = Pips(dtype=jnp.bfloat16, fuse_chanff=True, **TINY)
+    ds = SyntheticPointDataset(S=4, N=16, H=64, W=96, seed=17)
+    batch_np = next(batch_iterator(ds, batch_size=4, num_workers=2))
+
+    with interpret_mode():
+        state1 = _state(model, N=16)
+        step1 = jax.jit(make_train_step(model, state1.tx, iters=1,
+                                        horz_flip=False, vert_flip=False))
+        batch1 = {k: jnp.asarray(v) for k, v in batch_np.items()}
+        state1, metrics1 = step1(state1, batch1)
+
+        mesh = make_mesh((4, 2))
+        state2 = jax.device_put(_state(model, N=16), replicate(mesh))
+        step2 = make_sharded_train_step(model, state2.tx, mesh, iters=1,
+                                        horz_flip=False, vert_flip=False,
+                                        donate_state=False)
+        state2, metrics2 = step2(state2, shard_batch(mesh, batch_np))
+
+    assert np.isfinite(float(metrics2["total_loss"]))
+    np.testing.assert_allclose(float(metrics1["total_loss"]),
+                               float(metrics2["total_loss"]), rtol=1e-3)
+    for a, b in zip(jax.tree.leaves(state1.params),
+                    jax.tree.leaves(state2.params)):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        # bf16 compute + cross-device psum reassociation noise floor
+        atol = 1e-3 + 1e-3 * np.abs(a).max()
+        np.testing.assert_allclose(b, a, rtol=1e-2, atol=atol)
+
+
+def test_sharded_forward_bf16_fused_points_axis():
+    """Eval-mode bf16+fused forward with points over the full mesh matches
+    the unsharded forward (the serving config on a pod slice)."""
+    from pips_tpu.kernels.mixer_pallas import interpret_mode
+
+    model = Pips(dtype=jnp.bfloat16, fuse_chanff=True, **TINY)
+    with interpret_mode():
+        state = _state(model, N=16)
+        mesh = make_mesh((4, 2))
+        # chaos policy (b) (docs/TESTING.md): a SINGLE refinement step —
+        # with untrained bf16 weights, iterating floor() corr lookups
+        # amplifies partitioning ulp-noise to O(px) scatter by iter 2
+        fwd = make_sharded_forward(model, mesh, iters=1)
+        rng = np.random.RandomState(5)
+        rgbs = jnp.asarray(rng.rand(1, 4, 64, 96, 3) * 255, jnp.float32)
+        xys = jnp.asarray(rng.rand(1, 16, 2) * [80, 50] + 4, jnp.float32)
+        params = jax.device_put(state.params, replicate(mesh))
+        trajs, vis, _ = fwd(params, xys, rgbs)
+
+        out = model.apply(state.params, xys, rgbs, iters=1, is_train=False,
+                          corr_mode="onehot")  # same path as make_sharded_forward
+    assert np.isfinite(np.asarray(trajs, np.float32)).all()
+    err = np.abs(np.asarray(trajs, np.float32)
+                 - np.asarray(out.coord_predictions[-1], np.float32))
+    assert np.median(err) < 0.05, np.median(err)
+    assert err.max() < 1.0, err.max()

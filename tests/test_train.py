@@ -184,3 +184,64 @@ def test_inloop_ce_matches_stacked(tiny_batch):
                            ce_gt=(batch["trajs"], batch["visibles"], batch["valids"]))
     assert out_lean.fcps is None
     np.testing.assert_allclose(float(out_lean.ce_loss), want, rtol=1e-5)
+
+
+def test_grad_acc_metrics_cover_full_batch(tiny_batch):
+    """Logged grad_acc metrics are the mean over ALL microbatches (the full
+    effective batch), not a sample of the last one (regression: r2 logged
+    metrics_seq[-1], a 1/grad_acc-sized sample)."""
+    import optax
+    from pips_tpu.train.step import train_loss_fn
+
+    model = Pips(**TINY)
+    tx = optax.sgd(1.0)
+    rgbs0 = jnp.zeros((1, model.S, 64, 96, 3))
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 8, 2)), rgbs0,
+                        iters=1)
+    state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+    batch = {k: jnp.asarray(v) for k, v in tiny_batch.items()}
+    micro = {k: v.reshape(2, 1, *v.shape[1:]) for k, v in batch.items()}
+
+    loss_fn = jax.jit(lambda p, b: train_loss_fn(model, p, b, 1)[1])
+    m0 = loss_fn(state.params, {k: v[0] for k, v in micro.items()})
+    m1 = loss_fn(state.params, {k: v[1] for k, v in micro.items()})
+
+    step2 = jax.jit(make_train_step(model, tx, iters=1, horz_flip=False,
+                                    vert_flip=False, grad_acc=2))
+    _, metrics = step2(state, micro)
+    for k in metrics:
+        want = (float(m0[k]) + float(m1[k])) / 2.0
+        np.testing.assert_allclose(float(metrics[k]), want, rtol=1e-4,
+                                   err_msg=k)
+    # the microbatches genuinely differ, so a last-only regression would fail
+    assert abs(float(m0["total_loss"]) - float(m1["total_loss"])) > 1e-6
+
+
+class _RecordingDataset:
+    """(sample, gotit) protocol stub: records every requested index; indices
+    in `bad` fail (gotit=False)."""
+
+    def __init__(self, n, bad=()):
+        self.n = n
+        self.bad = set(bad)
+        self.requested = []
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        self.requested.append(int(i))
+        sample = {"x": np.full((2,), float(i), np.float32)}
+        return sample, i not in self.bad
+
+
+def test_batch_iterator_sequential_visits_every_index():
+    """shuffle=False visits each index exactly once per epoch, in order,
+    skipping only genuinely-failed samples (regression: r2 advanced the
+    cursor by 2x the batch and silently dropped half the dataset)."""
+    ds = _RecordingDataset(12, bad={3, 7})
+    it = batch_iterator(ds, batch_size=2, shuffle=False, num_workers=1)
+    got = [b for _ in range(5) for b in next(it)["x"][:, 0]]
+    # 10 good samples consumed = indices 0..11 minus the two bad ones
+    assert got == [float(i) for i in range(12) if i not in (3, 7)]
+    assert sorted(ds.requested[:12]) == list(range(12))  # each asked once
