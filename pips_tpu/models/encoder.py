@@ -78,16 +78,166 @@ def _in_bwd(eps, res, dy):
 instance_norm.defvjp(_in_fwd, _in_bwd)
 
 
+def _pair_mean(t: jnp.ndarray) -> jnp.ndarray:
+    """(B, 1, 1, 2C) per-s2d-channel stats -> per-LOGICAL-channel stats,
+    tiled back to 2C (phases c and c+C of the W-s2d layout are the same
+    logical channel)."""
+    C = t.shape[-1] // 2
+    m = 0.5 * (t[..., :C] + t[..., C:])
+    return jnp.concatenate([m, m], axis=-1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def instance_norm_s2d(x2: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """``instance_norm`` evaluated natively on the W-s2d layout.
+
+    x2: (B, H, W/2, 2C) viewing an (B, H, W, C) tensor; equals
+    ``instance_norm(x).reshape`` up to fp reassociation, but never leaves
+    the 128-lane layout: per-s2d-channel reductions (tiny (B, 2C) stats)
+    are pair-combined on the host-free stats tensor, so the big tensor
+    needs no relayout (an un-s2d reshape is free in row-major terms but is
+    a real data movement in the TPU's tiled layout — measured +2.3 ms/step
+    when stage 1 un-s2d'd around every norm)."""
+    y, _ = _ins2d_fwd(x2, eps)
+    return y
+
+
+def _ins2d_stats(x, eps):
+    xf = x.astype(jnp.float32)
+    mean = _pair_mean(jnp.mean(xf, axis=(1, 2), keepdims=True))
+    mean_sq = _pair_mean(jnp.mean(jnp.square(xf), axis=(1, 2), keepdims=True))
+    var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
+    rsig = jax.lax.rsqrt(var + eps)
+    return ((xf - mean) * rsig).astype(x.dtype), rsig
+
+
+def _ins2d_fwd(x, eps):
+    y, rsig = _ins2d_stats(x, eps)
+    return y, (y, rsig)
+
+
+def _ins2d_bwd(eps, res, dy):
+    y, rsig = res
+    dyf = dy.astype(jnp.float32)
+    yf = y.astype(jnp.float32)
+    m1 = _pair_mean(jnp.mean(dyf, axis=(1, 2), keepdims=True))
+    m2 = _pair_mean(jnp.mean(dyf * yf, axis=(1, 2), keepdims=True))
+    dx = (rsig * (dyf - m1 - yf * m2)).astype(dy.dtype)
+    return (dx,)
+
+
+instance_norm_s2d.defvjp(_ins2d_fwd, _ins2d_bwd)
+
+
+class _Conv3Inner(nn.Module):
+    """Fused implicit-im2col 3x3/s1 conv (kernels/conv_pallas.py) with the
+    nn.Conv-compatible param tree (kernel (3,3,C,O) HWIO + bias)."""
+    features: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        from pips_tpu.kernels.conv_pallas import _ref_conv, conv3x3_same
+
+        C = x.shape[-1]
+        kernel = self.param("kernel", kaiming_out, (3, 3, C, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        dt = self.dtype or x.dtype
+        fn = _ref_conv if self.is_initializing() else conv3x3_same
+        return fn(x.astype(dt), kernel.astype(dt), bias)
+
+
+def _pack_s2d_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """(3, 3, C, O) conv kernel -> (3, 3, 2C, 2O) kernel computing the SAME
+    conv on the W-only space-to-depth layout ((H, W, C) viewed as
+    (H, W/2, 2C) — a free reshape in NHWC).
+
+    Output pixel pair (w=2*w2+a): input tap u = 2*w2 + a + dx - 1 lands in
+    s2d column w2 + m, phase a', with dx = 2m + a' - a + 1; taps with dx
+    outside [0, 3) are structural zeros (50% of the packed kernel). Trace-
+    time weight-space ops only — autodiff routes dW through the slices.
+    """
+    C, O = w.shape[2], w.shape[3]
+    zero = jnp.zeros_like(w[:, 0])
+    cols_m = []
+    for m in (-1, 0, 1):
+        rows = []
+        for ap in range(2):
+            cols = []
+            for a in range(2):
+                dx = 2 * m + ap - a + 1
+                cols.append(w[:, dx] if 0 <= dx < 3 else zero)
+            rows.append(jnp.concatenate(cols, axis=-1))   # (3, C, 2O)
+        cols_m.append(jnp.concatenate(rows, axis=1))      # (3, 2C, 2O)
+    return jnp.stack(cols_m, axis=1)                      # (3, 3, 2C, 2O)
+
+
+class _Conv3S2dRaw(nn.Module):
+    """3x3/s1/SAME conv evaluated natively in the W-s2d layout (pure XLA):
+    input AND output are (B, H, W/2, 2C) views of (B, H, W, C) tensors.
+
+    Lane-occupancy rewrite for the encoder's 64-channel stage: XLA's per-tap
+    conv strategy fills K = C_in of the MXU's 128 lanes and its pass count is
+    invariant to C_in below 128 (measured, tools/profile_conv_roofline.py),
+    so the 64->64 convs run half-empty. In the W-s2d view the same math is a
+    3x3 conv with a packed (3,3,128,128) kernel — half the rows at full K
+    and N occupancy: 1.48x measured (473 -> 320 us at 8x192x256 bf16,
+    tools/profile_conv_s2d.py). Autodiff's dgrad inherits the layout (same
+    win); wgrad contracts over B*H*W2 with 128 channels each side. Param
+    tree identical to nn.Conv (kernel (3,3,C,O) HWIO + bias). The caller
+    must keep the surrounding ops in the s2d layout too — un-s2d'ing per
+    conv is a real relayout in the TPU's tiled layout (see
+    ``instance_norm_s2d``)."""
+    features: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x2):
+        C = x2.shape[-1] // 2
+        kernel = self.param("kernel", kaiming_out, (3, 3, C, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        dt = self.dtype or x2.dtype
+        k2 = _pack_s2d_kernel(kernel.astype(dt))
+        y2 = jax.lax.conv_general_dilated(
+            x2.astype(dt), k2, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y2 + jnp.concatenate([bias, bias]).astype(dt)
+
+
+class _S2dConv(nn.Module):
+    """Wrapper giving ``_Conv3S2dRaw`` the same param path as ``Conv``
+    (``<name>/Conv_0/{kernel,bias}``)."""
+    features: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x2):
+        return _Conv3S2dRaw(self.features, self.dtype, name="Conv_0")(x2)
+
+
 class Conv(nn.Module):
-    """Conv2d with torch-style explicit zero padding, NHWC."""
+    """Conv2d with torch-style explicit zero padding, NHWC.
+
+    ``fuse=True`` routes eligible shapes (3x3, stride 1, pad 1, 64->64,
+    even W) through the fused implicit-im2col Pallas kernel
+    (kernels/conv_pallas.py — a documented experiment; its custom-VJP
+    boundary loses end-to-end). The production lane-occupancy rewrite for
+    those shapes lives at the block level instead (``ResidualBlock`` s2d
+    mode). Param tree is identical in every mode.
+    """
     features: int
     kernel: int
     stride: int = 1
     pad: int = 0
     dtype: Any = None  # compute dtype; params stay float32
+    fuse: bool = False
 
     @nn.compact
     def __call__(self, x):
+        if (self.fuse and self.kernel == 3 and self.stride == 1
+                and self.pad == 1 and x.shape[-1] == 64
+                and self.features == 64 and x.shape[-2] % 2 == 0):
+            return _Conv3Inner(self.features, self.dtype, name="Conv_0")(x)
         return nn.Conv(
             self.features,
             (self.kernel, self.kernel),
@@ -99,15 +249,17 @@ class Conv(nn.Module):
 
 
 class _StemInner(nn.Module):
-    """7x7 stride-2 pad-3 conv; space-to-depth in f32, direct in bf16.
+    """7x7 stride-2 pad-3 conv; space-to-depth in f32, W-only s2d in bf16.
 
     In f32, a direct stride-2 conv on 3 input channels leaves the 128-wide
     MXU contraction ~97% idle (measured 6.95 ms for the stem at 8x480x1024
     on v5e); rearranged to a 4x4 VALID conv on a 2x2-space-to-depth input
-    (12 channels) the same math runs as a dense matmul. In bf16 the ranking
-    FLIPS: the s2d transpose relayout dominates and the direct conv is 2x
-    faster (977 vs 1969 us at 8x384x512), so the bf16 path goes direct.
-    Bit-equivalent up to fp reassociation either way; parameters keep the
+    (12 channels) the same math runs as a dense matmul. In bf16 the full-s2d
+    transpose relayout dominates (1969 us vs 977 direct at 8x384x512) — but
+    a W-ONLY space-to-depth is a FREE reshape in NHWC ((H, W, 3) and
+    (H, W/2, 6) share a memory layout), halving the tap count with no
+    relayout: 639 us vs 1600 direct at 8x384x512 (scalar-closure chain, r3).
+    Bit-equivalent up to fp reassociation every way; parameters keep the
     torch-port layout (kernel (7, 7, C, O)).
     """
     features: int
@@ -123,9 +275,21 @@ class _StemInner(nn.Module):
         k = kernel.astype(dt)
 
         B, H, W, _ = x.shape
-        if dt == jnp.bfloat16 or H % 2 or W % 2:
+        if H % 2 or W % 2:
             y = jax.lax.conv_general_dilated(
                 x, k, (2, 2), ((3, 3), (3, 3)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return y + bias.astype(dt)
+
+        if dt == jnp.bfloat16:
+            # W-only s2d: tap dx in [0,7) with a leading zero col -> 2m + a,
+            # m in [0,4), a in {0,1}; input left-padded 4 (=3+1 tap shift)
+            kpad = jnp.pad(k, ((0, 0), (1, 0), (0, 0), (0, 0)))  # (7,8,C,O)
+            k2 = kpad.reshape(7, 4, 2 * C, self.features)
+            xp = jnp.pad(x, ((0, 0), (3, 3), (4, 2), (0, 0)))
+            x2 = xp.reshape(B, H + 6, (W + 6) // 2, 2 * C)
+            y = jax.lax.conv_general_dilated(
+                x2, k2, (2, 1), "VALID",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
             return y + bias.astype(dt)
 
@@ -159,16 +323,40 @@ class ResidualBlock(nn.Module):
     """Two 3x3 convs with norm+relu and an optional strided 1x1 shortcut.
 
     Parity: reference ``nets/pips.py:131-181`` with norm_fn='instance'.
+
+    ``s2d=True`` (stage-1 bf16 production path) evaluates the WHOLE block in
+    the W-s2d layout — packed-kernel convs at full MXU lane occupancy
+    (``_Conv3S2dRaw``), pair-combined instance norm (``instance_norm_s2d``),
+    relu and the residual add in-layout. The block's external interface
+    stays (B, H, W, C): the entry/exit reshapes between adjacent s2d blocks
+    cancel in XLA's algebraic simplifier, so the stage pays one real
+    relayout at its boundary, not one per conv. Param tree unchanged.
     """
     planes: int
     stride: int = 1
     dtype: Any = None
+    fuse_conv3: bool = False
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x):
-        y = Conv(self.planes, 3, self.stride, 1, dtype=self.dtype, name="conv1")(x)
+        use_s2d = (self.s2d and not self.fuse_conv3 and self.stride == 1
+                   and x.shape[-1] == self.planes and self.planes == 64
+                   and x.shape[-2] % 2 == 0)
+        if use_s2d:
+            B, H, W, C = x.shape
+            x2 = x.reshape(B, H, W // 2, 2 * C)
+            y2 = _S2dConv(self.planes, dtype=self.dtype, name="conv1")(x2)
+            y2 = nn.relu(instance_norm_s2d(y2))
+            y2 = _S2dConv(self.planes, dtype=self.dtype, name="conv2")(y2)
+            y2 = nn.relu(instance_norm_s2d(y2))
+            return nn.relu(x2 + y2).reshape(B, H, W, C)
+
+        y = Conv(self.planes, 3, self.stride, 1, dtype=self.dtype,
+                 fuse=self.fuse_conv3, name="conv1")(x)
         y = nn.relu(instance_norm(y))
-        y = Conv(self.planes, 3, 1, 1, dtype=self.dtype, name="conv2")(y)
+        y = Conv(self.planes, 3, 1, 1, dtype=self.dtype,
+                 fuse=self.fuse_conv3, name="conv2")(y)
         y = nn.relu(instance_norm(y))
         if self.stride != 1:
             x = Conv(self.planes, 1, self.stride, 0, dtype=self.dtype,
@@ -191,6 +379,7 @@ class BasicEncoder(nn.Module):
     stage_dims: Sequence[int] = (64, 96, 128, 128)
     dtype: Any = None
     remat: bool = False
+    fuse_conv3: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -206,11 +395,18 @@ class BasicEncoder(nn.Module):
         x = stem_cls(self.stage_dims[0], dtype=self.dtype, name="conv1")(x)
         x = nn.relu(instance_norm(x))
 
+        # stage-1 blocks run in the W-s2d layout in bf16 (full MXU lane
+        # occupancy for the 64-channel convs; see ResidualBlock.s2d)
+        s2d1 = self.dtype == jnp.bfloat16
         feats = []
         for i, dim in enumerate(self.stage_dims):
             stride = 1 if i == 0 else 2
-            x = block_cls(dim, stride, dtype=self.dtype, name=f"layer{i + 1}_0")(x)
-            x = block_cls(dim, 1, dtype=self.dtype, name=f"layer{i + 1}_1")(x)
+            x = block_cls(dim, stride, dtype=self.dtype,
+                          fuse_conv3=self.fuse_conv3, s2d=s2d1 and i == 0,
+                          name=f"layer{i + 1}_0")(x)
+            x = block_cls(dim, 1, dtype=self.dtype,
+                          fuse_conv3=self.fuse_conv3, s2d=s2d1 and i == 0,
+                          name=f"layer{i + 1}_1")(x)
             feats.append(resize_bilinear_align_corners(x, out_hw))
 
         x = jnp.concatenate(feats, axis=-1)

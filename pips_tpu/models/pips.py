@@ -68,10 +68,16 @@ class Pips(nn.Module):
                                # (kernels/mixer_pallas.py): one kernel +
                                # custom VJP per block, weights VMEM-resident.
                                # Enable on the TPU bf16 compute path.
+    fuse_conv3: bool = False   # fused implicit-im2col Pallas kernel for the
+                               # encoder's small-channel 3x3 convs
+                               # (kernels/conv_pallas.py): dense-K MXU
+                               # contraction where XLA's per-tap strategy
+                               # runs half-empty. TPU-only.
 
     def setup(self):
         self.fnet = BasicEncoder(output_dim=self.latent_dim, stride=self.stride,
-                                 dtype=self.dtype, remat=self.remat_encoder)
+                                 dtype=self.dtype, remat=self.remat_encoder,
+                                 fuse_conv3=self.fuse_conv3)
         delta_cls = nn.remat(DeltaBlock) if self.remat_mixer else DeltaBlock
         self.delta_block = delta_cls(
             latent_dim=self.latent_dim,
