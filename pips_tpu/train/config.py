@@ -47,10 +47,15 @@ class TrainConfig:
     log_dir: str = "logs_train"
     log_freq: int = 4000
     log_media: bool = True   # emit traj GIF + score-map render every log_freq
+    model_family: str = "pips"  # "pips" (fixed-S mixer, train.py) or
+                                # "pips2" (S-agnostic PIPs++, train2.py intent)
+    num_workers: int = 8   # host loader threads (reference train.py:228
+                           # used 16 *processes* per GPU)
     metrics_every: int = 10  # host-sync metrics every K steps (device_get is
                              # a round-trip; the reference syncs every step)
     profile_dir: str = ""    # capture a jax.profiler trace of steps 10-15
     val_freq: int = 2000
+    val_batches: int = 8   # batches per validation pass (pooled, n=10000)
     # saving/loading
     ckpt_dir: str = "checkpoints"
     save_freq: int = 1000
@@ -82,6 +87,12 @@ class TrainConfig:
     fuse_chanff: int = -1  # fused Pallas channel-FF mixer blocks:
                            # -1 auto (on iff TPU backend + bf16), 0 off, 1 on
                            # (CPU runs would need pallas interpret mode)
+    fuse_conv3: int = 0    # fused implicit-im2col Pallas kernel for the
+                           # encoder's stage-1 3x3 convs: same -1/0/1
+                           # semantics as fuse_chanff, but default OFF —
+                           # standalone it trails XLA's conv (see
+                           # kernels/conv_pallas.py); enable per-run to
+                           # probe layout side-effects
     # smoke mode (reference train2.py --quick analog)
     quick: bool = False
 

@@ -101,14 +101,27 @@ def train(cfg: Optional[TrainConfig] = None) -> dict:
     else:
         mesh = make_mesh(cfg.mesh_shape
                          or default_mesh_shape(len(jax.devices()), cfg.B, cfg.N))
-    model = Pips(S=cfg.S, stride=cfg.stride, latent_dim=cfg.latent_dim,
-                 corr_levels=cfg.corr_levels, corr_radius=cfg.corr_radius,
-                 mixer_dim=cfg.mixer_dim, mixer_depth=cfg.mixer_depth,
-                 dtype=resolve_dtype(cfg.dtype),
-                 remat_mixer=cfg.remat_mixer, remat_corr=cfg.remat_corr,
-                 remat_encoder=cfg.remat_encoder,
-                 fuse_chanff=resolve_fuse_chanff(cfg.fuse_chanff,
-                                                 resolve_dtype(cfg.dtype)))
+    if cfg.model_family == "pips2":
+        from pips_tpu.models import Pips2
+        # mixer_dim/mixer_depth double as the temporal refiner's knobs
+        # (PIPs++ default 256x6 <- set via CLI)
+        model = Pips2(stride=cfg.stride, latent_dim=cfg.latent_dim,
+                      corr_levels=cfg.corr_levels, corr_radius=cfg.corr_radius,
+                      refiner_dim=cfg.mixer_dim, refiner_depth=cfg.mixer_depth,
+                      dtype=resolve_dtype(cfg.dtype),
+                      fuse_chanff=resolve_fuse_chanff(
+                          cfg.fuse_chanff, resolve_dtype(cfg.dtype)))
+    else:
+        model = Pips(S=cfg.S, stride=cfg.stride, latent_dim=cfg.latent_dim,
+                     corr_levels=cfg.corr_levels, corr_radius=cfg.corr_radius,
+                     mixer_dim=cfg.mixer_dim, mixer_depth=cfg.mixer_depth,
+                     dtype=resolve_dtype(cfg.dtype),
+                     remat_mixer=cfg.remat_mixer, remat_corr=cfg.remat_corr,
+                     remat_encoder=cfg.remat_encoder,
+                     fuse_chanff=resolve_fuse_chanff(cfg.fuse_chanff,
+                                                     resolve_dtype(cfg.dtype)),
+                     fuse_conv3=resolve_fuse_chanff(cfg.fuse_conv3,
+                                                    resolve_dtype(cfg.dtype)))
     state = init_state(cfg, model)
 
     ckpt_dir = f"{cfg.ckpt_dir}/{name}"
@@ -135,13 +148,14 @@ def train(cfg: Optional[TrainConfig] = None) -> dict:
     seed0 = 125 + 1000 * jax.process_index()
     train_it = DevicePrefetcher(
         batch_iterator(build_dataset(cfg, "train"), cfg.B, shuffle=cfg.shuffle,
-                       seed=seed0, grad_acc=cfg.grad_acc),
+                       seed=seed0, grad_acc=cfg.grad_acc,
+                       num_workers=cfg.num_workers),
         put_fn=lambda b: shard_batch(mesh, b, cfg.grad_acc))
     val_it = None
     if cfg.val_freq > 0:
         val_it = DevicePrefetcher(
             batch_iterator(build_dataset(cfg, "val"), cfg.B, shuffle=True,
-                           seed=seed0),
+                           seed=seed0, num_workers=max(cfg.num_workers // 2, 1)),
             put_fn=lambda b: shard_batch(mesh, b, 1))
 
     from pips_tpu.train.step import train_loss_fn
@@ -158,12 +172,20 @@ def train(cfg: Optional[TrainConfig] = None) -> dict:
         vb = next(batch_iterator(build_dataset(cfg, "train"), 1, shuffle=True,
                                  seed=777, num_workers=1))
         vb = {k: (v if k == "rgbs" else v[:, :, :NV]) for k, v in vb.items()}
+        # fcp heatmaps re-track with compute_fcp=True — a SECOND full forward
+        # variant. At production HxW that is a second multi-minute compile on
+        # the tunnel for a GIF; above the guard we render trajectories only.
+        want_fcp = vb["rgbs"].shape[2] * vb["rgbs"].shape[3] <= 384 * 512
         vis_fn = jax.jit(lambda p, b: model.apply(
             p, b["trajs"][:, 0], b["rgbs"], iters=cfg.I, is_train=False,
-            compute_fcp=True))
+            compute_fcp=want_fcp))
         vis_state = (vb, jax.device_put(vb), vis_fn)
-    pools = {k: SimplePool(100) for k in
-             ("total_loss", "seq", "vis", "ce", "ate_all", "ate_vis", "ate_occ")}
+    METRIC_KEYS = ("total_loss", "seq", "vis", "ce", "ate_all", "ate_vis",
+                   "ate_occ")
+    pools = {k: SimplePool(100) for k in METRIC_KEYS}
+    # validation pools persist across val events (reference train.py:358-402
+    # pools val metrics with n=10000 alongside the train pools)
+    val_pools = {k: SimplePool(10000) for k in METRIC_KEYS}
 
     last_metrics = {}
     while global_step < cfg.max_iters:
@@ -202,18 +224,28 @@ def train(cfg: Optional[TrainConfig] = None) -> dict:
             sw.summ_traj2ds_on_rgbs("train/trajs_on_rgbs",
                                     out.coord_predictions[-1][0], rgbs8,
                                     visibles=vis_p)
-            # score-map heatmaps for point 0 (reference nets/pips.py:566-598)
-            sw.summ_rgbs("train/fcp_point0", list(render_fcp_vis(
-                out.fcps[0, :, :, 0], out.coord_predictions[:, 0, :, 0],
-                trajs_g=vb["trajs"][0, :, 0], stride=cfg.stride)))
+            if out.fcps is not None:
+                # score-map heatmaps, point 0 (reference nets/pips.py:566-598)
+                sw.summ_rgbs("train/fcp_point0", list(render_fcp_vis(
+                    out.fcps[0, :, :, 0], out.coord_predictions[:, 0, :, 0],
+                    trajs_g=vb["trajs"][0, :, 0], stride=cfg.stride)))
 
         if val_it is not None and global_step % cfg.val_freq == 0:
-            # quick val probe: loss on one held-out batch (no grad)
-            vb = next(val_it)
-            _, vmetrics = val_fn(state.params, vb)
+            # validation pass: cfg.val_batches held-out batches, pooled
+            # metrics (reference train.py:358-402)
+            for _ in range(max(cfg.val_batches, 1)):
+                vb = next(val_it)
+                _, vmetrics = val_fn(state.params, vb)
+                vmetrics = jax.device_get(vmetrics)
+                for k, pool in val_pools.items():
+                    v = float(vmetrics[k])
+                    if v > 0 or not k.startswith("ate_"):
+                        pool.update([v])
             if is_main:
-                writer.scalars(global_step,
-                               {f"val/{k}": float(v) for k, v in jax.device_get(vmetrics).items()})
+                writer.scalars(global_step, {
+                    **{f"val/{k}": float(v) for k, v in vmetrics.items()},
+                    **{f"val_pooled/{k}": p.mean()
+                       for k, p in val_pools.items() if p.items}})
 
         if global_step % cfg.save_freq == 0 and is_main:
             saverloader.save(ckpt_dir, jax.device_get(state), global_step,

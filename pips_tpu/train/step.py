@@ -67,7 +67,9 @@ def train_loss_fn(model, params, batch: Batch, iters: int, is_train: bool = True
 
     seq_loss = sequence_loss(out.coord_predictions, trajs_g, vis_g, valids, 0.8)
     vis_loss, _ = balanced_ce_loss(out.vis_e, vis_g, valids)
-    ce_loss = out.ce_loss
+    # PIPs++ (Pips2) has no score-map CE term (reference train2.py:81);
+    # its output carries ce_loss=None
+    ce_loss = out.ce_loss if out.ce_loss is not None else jnp.float32(0.0)
     total_loss = seq_loss + vis_loss * 10.0 + ce_loss
 
     ate = jnp.linalg.norm(out.coord_predictions[-1] - trajs_g, axis=-1)  # B,S,N

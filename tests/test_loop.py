@@ -15,7 +15,7 @@ def test_train_loop_end_to_end(tmp_path):
         dataset="synthetic", horz_flip=False, vert_flip=False,
         max_iters=2, lr=1e-4, log_freq=100, val_freq=2, save_freq=2,
         ckpt_dir=str(tmp_path / "ckpts"), log_dir=str(tmp_path / "logs"),
-        mesh_shape=(1, 1), use_scheduler=False,
+        mesh_shape=(1, 1), use_scheduler=False, val_batches=2,
     )
     metrics = train(cfg)
     assert np.isfinite(metrics["total_loss"])
@@ -27,9 +27,14 @@ def test_train_loop_end_to_end(tmp_path):
     steps = saverloader.list_steps(os.path.join(cfg.ckpt_dir, run_dirs[0]))
     assert steps == [2]
 
-    # metrics were logged
+    # metrics were logged, including the pooled validation pass
     logs = os.listdir(cfg.log_dir)
     assert len(logs) == 1
+    import json
+    events = [json.loads(l) for l in
+              open(os.path.join(cfg.log_dir, logs[0], "events.jsonl"))]
+    keys = {k for e in events for k in e}
+    assert any(k.startswith("val_pooled/") for k in keys), sorted(keys)
 
 
 def test_config_cli_roundtrip():

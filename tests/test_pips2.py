@@ -1,0 +1,105 @@
+"""Pips2 (PIPs++ family): S-agnostic temporal-conv refiner.
+
+The reference's ``train2.py`` is an aspirational scaffold (imports a
+nonexistent nets/pips2.py); these tests pin the capability it intended:
+one parameter set tracks windows of ANY length, trains with seq+vis losses
+(no CE), and drops into the standard train step.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pips_tpu.models import Pips2
+
+TINY = dict(stride=8, latent_dim=16, corr_levels=3, corr_radius=2,
+            refiner_dim=32, refiner_depth=2)
+
+
+def _video(S, N=8, H=64, W=96, seed=0):
+    rng = np.random.RandomState(seed)
+    rgbs = jnp.asarray(rng.rand(1, S, H, W, 3) * 255, jnp.float32)
+    xys = jnp.asarray(rng.rand(1, N, 2) * [W - 16, H - 16] + 8, jnp.float32)
+    return xys, rgbs
+
+
+def test_s_agnostic_same_params():
+    """THE PIPs++ property: params initialized at S=4 run windows of S=6 and
+    S=10 unchanged (the mixer's fixed-S token weights make this impossible
+    for Pips)."""
+    model = Pips2(**TINY)
+    xys, rgbs4 = _video(4)
+    params = model.init(jax.random.PRNGKey(0), xys, rgbs4, iters=1)
+    for S in (4, 6, 10):
+        xys_s, rgbs_s = _video(S, seed=S)
+        out = model.apply(params, xys_s, rgbs_s, iters=2, is_train=False)
+        assert out.coord_predictions.shape == (2, 1, S, 8, 2)
+        assert out.vis_e.shape == (1, S, 8)
+        assert np.isfinite(np.asarray(out.coord_predictions)).all()
+
+
+def test_eval_locks_query_frame():
+    model = Pips2(**TINY)
+    xys, rgbs = _video(5, seed=3)
+    params = model.init(jax.random.PRNGKey(1), xys, rgbs, iters=1)
+    out = model.apply(params, xys, rgbs, iters=2, is_train=False)
+    np.testing.assert_allclose(np.asarray(out.coord_predictions[-1][:, 0]),
+                               np.asarray(xys), rtol=1e-5, atol=1e-5)
+
+
+def test_corr_modes_agree_single_iter():
+    """The shared corr paths stay numerically equivalent through Pips2
+    (single refinement step per the chaos policy)."""
+    model = Pips2(**TINY)
+    xys, rgbs = _video(4, seed=5)
+    params = model.init(jax.random.PRNGKey(2), xys, rgbs, iters=1)
+    outs = [model.apply(params, xys, rgbs, iters=1, corr_mode=m)
+            for m in ("full", "fused", "onehot")]
+    for o in outs[1:]:
+        np.testing.assert_allclose(np.asarray(o.coord_predictions),
+                                   np.asarray(outs[0].coord_predictions),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_train_step_reduces_loss():
+    """Pips2 drops into the standard train step (ce_loss None -> 0)."""
+    import optax
+
+    from pips_tpu.data import SyntheticPointDataset, batch_iterator
+    from pips_tpu.train.step import TrainState, make_train_step
+
+    model = Pips2(**TINY)
+    ds = SyntheticPointDataset(S=4, N=8, H=64, W=96, seed=11)
+    batch = {k: jnp.asarray(v) for k, v in
+             next(batch_iterator(ds, batch_size=2, num_workers=2)).items()}
+    params = model.init(jax.random.PRNGKey(0), batch["trajs"][:1, 0],
+                        batch["rgbs"][:1], iters=1)
+    state = TrainState.create(apply_fn=model.apply, params=params,
+                              tx=optax.adamw(3e-4))
+    step = jax.jit(make_train_step(model, state.tx, iters=2,
+                                   horz_flip=False, vert_flip=False))
+    losses = []
+    for _ in range(8):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["total_loss"]))
+    assert np.isfinite(losses).all()
+    assert float(metrics["ce"]) == 0.0  # PIPs++ has no CE term
+    assert losses[-1] < losses[0], losses
+
+
+def test_train_loop_model_family(tmp_path):
+    from pips_tpu.train.config import TrainConfig
+    from pips_tpu.train.loop import train
+
+    cfg = TrainConfig(
+        B=1, S=4, N=8, crop_size=(64, 96), I=1, model_family="pips2",
+        latent_dim=16, corr_levels=3, corr_radius=2, mixer_dim=32,
+        mixer_depth=2,
+        dataset="synthetic", horz_flip=False, vert_flip=False,
+        max_iters=2, lr=1e-4, log_freq=100, val_freq=0, save_freq=100,
+        ckpt_dir=str(tmp_path / "ckpts"), log_dir=str(tmp_path / "logs"),
+        mesh_shape=(1, 1), use_scheduler=False, log_media=False)
+    metrics = train(cfg)
+    assert np.isfinite(metrics["total_loss"])
