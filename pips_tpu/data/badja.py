@@ -27,6 +27,24 @@ ANNOTATED_CLASSES = np.array([
 
 IGNORE_ANIMALS = ("cat_jump.json", "tiger.json")
 
+# Body-region color per annotated joint (reference ``badjadataset.py:91-128``:
+# joints group into regions, each region has a display color; used by the
+# keypoint-overlay vis in run_badja)
+_REGION_COLORS = np.array([
+    [60, 180, 75],     # upper_right, green
+    [230, 25, 75],     # upper_left, red
+    [128, 0, 0],       # neck, maroon
+    [0, 130, 200],     # lower_right, blue
+    [255, 255, 25],    # lower_left, yellow
+    [240, 50, 230],    # tail, magenta
+    [245, 130, 48],    # head (jaw/nose), orange
+    [29, 98, 115],     # right_ear, turquoise
+    [255, 153, 204],   # left_ear, pink
+], np.uint8)
+_JOINT_REGION = np.array([0, 0, 0, 1, 1, 1, 2, 3, 3, 3, 4, 4, 4,
+                          5, 5, 5, 6, 6, 7, 8])
+JOINT_COLORS = _REGION_COLORS[_JOINT_REGION]  # (20, 3) uint8
+
 
 def _imread(path: str) -> np.ndarray:
     import imageio.v2 as imageio

@@ -26,6 +26,11 @@ def main(init_dir: str = "checkpoints/ref", davis_dir: str = "/data/davis",
          S: int = 8, stride: int = 8, iters: int = 6, chunk: int = 256,
          resize_hw=(480, 1024), max_videos: int = 20, point_stride: int = 8,
          out_dir: str = "", dtype: str = "float32"):
+    """``--chunk 0`` tracks the WHOLE dense grid in one jitted call — the
+    TPU-native mode (0.38 s/video vs ~2 s chunked at 480x1024/8 on v5e;
+    points are independent, so there is no reason to chunk on-chip other
+    than matching the reference's GPU-memory workaround,
+    ``test_on_davis.py:111``). chunk>0 keeps the reference-style loop."""
     from pips_tpu.evals.common import make_pips
     model = make_pips(S=S, stride=stride, dtype=dtype)
     params = load_params(model, init_dir)
@@ -51,13 +56,14 @@ def main(init_dir: str = "checkpoints/ref", davis_dir: str = "/data/davis",
         rgbs = resize_video_half_pixel(rgbs, (H_, W_))[None]
 
         xy = dense_queries(H_, W_, stride=point_stride)[0]  # (H2*W2, 2)
+        eff_chunk = chunk if chunk > 0 else len(xy)
         t0 = time.time()
         step_times = []
         trajs, viss = [], []
-        for i0 in range(0, len(xy), chunk):
-            xy0 = xy[i0:i0 + chunk]
-            if len(xy0) < chunk:  # pad to fixed shape
-                xy0 = np.concatenate([xy0, np.repeat(xy0[-1:], chunk - len(xy0), 0)])
+        for i0 in range(0, len(xy), eff_chunk):
+            xy0 = xy[i0:i0 + eff_chunk]
+            if len(xy0) < eff_chunk:  # pad to fixed shape
+                xy0 = np.concatenate([xy0, np.repeat(xy0[-1:], eff_chunk - len(xy0), 0)])
             ts = time.time()
             tr, vi = fwd(params, jnp.asarray(xy0[None], jnp.float32),
                          jnp.asarray(rgbs, jnp.float32))

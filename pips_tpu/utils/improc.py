@@ -260,6 +260,31 @@ class Summ_writer:
                                 linewidth=linewidth)
         return self.summ_rgb(name, img, only_return=only_return)
 
+    def summ_soft_seg_thr(self, name: str, seg: np.ndarray,
+                          label_colors: Optional[np.ndarray] = None,
+                          thr: float = 0.5, only_return: bool = False):
+        """Colorized thresholded soft segmentation.
+
+        seg: (N, H, W) soft masks in [0, 1]; label_colors: (N, 3) uint8
+        (defaults to a colormap spread). Per pixel, labels whose mask clears
+        ``thr`` contribute their color scaled by mask strength; overlaps
+        max-composite. Returns (H, W, 3) uint8.
+
+        Capability: the reference calls ``sw.summ_soft_seg_thr`` for BADJA
+        keypoint rendering (``test_on_badja.py:133,253,268``) but never ships
+        the method (the calls sit in dead ``if False:`` blocks) — behavior
+        here is reconstructed from those call sites.
+        """
+        seg = np.asarray(seg, np.float32)
+        N, H, W = seg.shape
+        if label_colors is None:
+            label_colors = _colormap(np.linspace(0, 1, max(N, 2))[:N], "spring")
+        label_colors = np.asarray(label_colors, np.float32)  # (N, 3)
+        m = np.where(seg >= thr, seg, 0.0)                   # (N, H, W)
+        img = np.max(m[..., None] * label_colors[:, None, None, :], axis=0)
+        img = np.clip(img, 0, 255).astype(np.uint8)
+        return self.summ_rgb(name, img, only_return=only_return)
+
     def summ_traj2ds_on_rgbs(self, name: str, trajs: np.ndarray, rgbs: np.ndarray,
                              visibles: Optional[np.ndarray] = None,
                              cmap: str = "spring", linewidth: int = 1,

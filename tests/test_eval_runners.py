@@ -64,3 +64,17 @@ def test_run_davis_end_to_end(monkeypatch, tmp_path_factory):
                          iters=1, chunk=16, resize_hw=(48, 96), max_videos=1,
                          point_stride=16)
     assert np.isfinite(out["mean_tps"]) and out["mean_tps"] > 0
+
+
+def test_run_davis_single_call(monkeypatch, tmp_path_factory):
+    """--chunk 0: the whole dense grid in ONE track call (TPU-native mode)."""
+    from tests_treeutil import make_davis_tree
+
+    from pips_tpu.evals import run_davis
+
+    root = make_davis_tree(tmp_path_factory.mktemp("davis"))
+    monkeypatch.setattr(run_davis, "Pips", tiny_pips)
+    out = run_davis.main(init_dir="random", davis_dir=root, S=8, stride=8,
+                         iters=1, chunk=0, resize_hw=(48, 96), max_videos=1,
+                         point_stride=16)
+    assert np.isfinite(out["mean_tps"]) and out["mean_tps"] > 0

@@ -131,3 +131,34 @@ def test_summ_flow(tmp_path, rng):
     frames = sw.summ_flows("t/flows", [flow, flow * 2])
     assert frames.shape == (2, 16, 24, 3)
     writer.close()
+
+
+def test_summ_soft_seg_thr(tmp_path):
+    """Thresholded colorized soft seg (reference test_on_badja.py:133 call
+    sites — the method itself is absent upstream)."""
+    from pips_tpu.utils.improc import Summ_writer, draw_circles_at_xy
+    from pips_tpu.utils.logging import MetricWriter
+
+    sw = Summ_writer(MetricWriter(str(tmp_path), use_tensorboard=False), 0,
+                     log_freq=1)
+    kp = draw_circles_at_xy(np.array([[4.0, 4.0], [12.0, 10.0]]), 16, 20,
+                            sigma=2.0)
+    colors = np.array([[255, 0, 0], [0, 0, 255]], np.uint8)
+    img = sw.summ_soft_seg_thr("seg", kp, label_colors=colors,
+                               only_return=True)
+    assert img.shape == (16, 20, 3) and img.dtype == np.uint8
+    assert img[4, 4, 0] > 200 and img[4, 4, 2] == 0      # red blob at (4,4)
+    assert img[10, 12, 2] > 200 and img[10, 12, 0] == 0  # blue at xy (12,10)
+    assert img[0, 19].sum() == 0                         # background empty
+
+
+def test_badja_kp_vis_gif(tmp_path):
+    from pips_tpu.evals.run_badja import write_kp_vis
+
+    T, H, W, N = 3, 24, 32, 5
+    rng = np.random.RandomState(0)
+    rgbs = rng.rand(T, H, W, 3).astype(np.float32) * 255
+    trajs = rng.rand(T, N, 2).astype(np.float32) * [W - 4, H - 4] + 2
+    path = write_kp_vis(str(tmp_path), "testvid", rgbs, trajs)
+    import os
+    assert os.path.exists(path) and os.path.getsize(path) > 0
