@@ -61,9 +61,11 @@ class ChainTracker:
 
     def __init__(self, model: Pips, params, iters: int = 6, capacity: int = 256,
                  corr_mode: str = "onehot", encode_chunk: int = 8,
-                 select_fn=None):
+                 select_fn=None, S: int = 0):
         self.model = model
-        self.S = model.S
+        # window length: fixed by the model for Pips; a free choice for the
+        # S-agnostic Pips2 family (pass S=, default 8)
+        self.S = S or getattr(model, "S", 8)
         self.capacity = capacity
         self.encode_chunk = encode_chunk
         self.select_fn = select_fn or select_skip

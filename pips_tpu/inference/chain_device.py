@@ -64,7 +64,7 @@ class ChainTrackerOnDevice:
 
         @jax.jit
         def _encode(params, rgbs):  # (1, S, H, W, 3) chunks
-            return model.apply(params, rgbs, method=Pips.encode)
+            return model.apply(params, rgbs, method="encode")
 
         self._encode = _encode
 
@@ -104,7 +104,7 @@ class ChainTrackerOnDevice:
 
                 out = model.apply(params, fm_win, q[None], feat_init=feat[None],
                                   iters=self.iters, is_train=False,
-                                  corr_mode=self.corr_mode, method=Pips.track)
+                                  corr_mode=self.corr_mode, method="track")
                 coords = out.coord_predictions[-1][0]  # (S, N, 2)
                 vis_p = jax.nn.sigmoid(out.vis_e[0])   # (S, N)
 

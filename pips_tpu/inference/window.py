@@ -54,7 +54,7 @@ class WindowTracker:
 
         @jax.jit
         def _encode(params, rgbs):
-            return model.apply(params, rgbs, method=Pips.encode)
+            return model.apply(params, rgbs, method="encode")
 
         self._encode = _encode
 
@@ -62,13 +62,13 @@ class WindowTracker:
         def _track(params, fmaps, xys, feat_init):
             out = model.apply(params, fmaps, xys, feat_init=feat_init,
                               iters=iters, is_train=False,
-                              corr_mode=corr_mode, method=Pips.track)
+                              corr_mode=corr_mode, method="track")
             return out.coord_predictions[-1], out.vis_e, out.ffeat
 
         @jax.jit
         def _track_nofeat(params, fmaps, xys):
             out = model.apply(params, fmaps, xys, iters=iters, is_train=False,
-                              corr_mode=corr_mode, method=Pips.track)
+                              corr_mode=corr_mode, method="track")
             return out.coord_predictions[-1], out.vis_e, out.ffeat
 
         self._track = _track

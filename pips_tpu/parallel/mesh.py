@@ -115,6 +115,10 @@ def shard_batch(mesh: Mesh, batch: dict, grad_acc: int = 1) -> dict:
     global batch (``jax.make_array_from_process_local_data``), so every host
     loads only the data its own devices consume."""
     specs = batch_pspecs(grad_acc)
+    # keep only what the train step consumes: datasets may carry host-side
+    # extras (FlyingThings' occs/masks feed summaries, not the step) and
+    # transferring them over the tunnel every step is pure waste
+    batch = {k: v for k, v in batch.items() if k in specs}
     if jax.process_count() > 1:
         return {k: jax.make_array_from_process_local_data(
                     NamedSharding(mesh, specs[k]), v)

@@ -89,6 +89,26 @@ def test_train_step_reduces_loss():
     assert losses[-1] < losses[0], losses
 
 
+def test_chain_tracker_accepts_pips2():
+    """The chaining engines are model-family-agnostic (encode/track protocol):
+    Pips2 tracks a long video through ChainTracker unchanged."""
+    from pips_tpu.inference import ChainTracker
+
+    model = Pips2(**TINY)
+    xys, rgbs8 = _video(8, N=6, seed=9)
+    params = model.init(jax.random.PRNGKey(4), xys, rgbs8, iters=1)
+
+    T = 12
+    rng = np.random.RandomState(10)
+    rgbs = (rng.rand(T, 64, 96, 3) * 255).astype(np.float32)
+    xys0 = (rng.rand(6, 2) * [80, 48] + 8).astype(np.float32)
+    tracker = ChainTracker(model, params, iters=2, capacity=8)
+    trajs, vis = tracker.track_video(rgbs, xys0)
+    assert trajs.shape == (T, 6, 2) and vis.shape == (T, 6)
+    assert np.isfinite(trajs).all()
+    np.testing.assert_allclose(trajs[0], xys0, atol=1e-4)
+
+
 def test_train_loop_model_family(tmp_path):
     from pips_tpu.train.config import TrainConfig
     from pips_tpu.train.loop import train

@@ -57,6 +57,20 @@ def test_sharded_train_step_matches_single_device():
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=1e-3, atol=1e-5)
 
 
+def test_shard_batch_drops_host_side_extras():
+    """Datasets may carry keys the step never consumes (FlyingThings'
+    occs/masks feed summaries); shard_batch must not choke on or transfer
+    them (regression: KeyError 'occs' on the first real-pipeline run)."""
+    ds = SyntheticPointDataset(S=4, N=16, H=64, W=96, seed=13)
+    batch_np = dict(next(batch_iterator(ds, batch_size=4, num_workers=2)))
+    batch_np["occs"] = np.zeros((4, 4, 64, 96), np.float32)
+    batch_np["masks"] = np.ones((4, 4, 64, 96), np.float32)
+    mesh = make_mesh((4, 2))
+    out = shard_batch(mesh, batch_np)
+    assert set(out) == {"rgbs", "trajs", "visibles", "valids"}
+    assert out["rgbs"].shape == batch_np["rgbs"].shape
+
+
 def test_sharded_grad_acc_matches_single_device():
     """grad_acc=2 microbatching on the mesh applies the same summed grads as
     the same scan on one device (SGD(1.0) makes param deltas == grads —

@@ -37,8 +37,10 @@ for name, dtype, mode, fuse in (("fp32 onehot", None, "onehot", False),
                                  "onehot", True),
                                 ("bf16 fused", jnp.bfloat16, "fused", False)):
     model = Pips(S=8, stride=8, dtype=dtype, fuse_chanff=fuse)
-    if "params" not in dir():
-        params = model.init(jax.random.PRNGKey(0), xys0[:, :8], rgbs[:, :, :64, :64], iters=1)
+    # every variant inits its own params (all variants share the tree today,
+    # but reusing one init would silently go stale if a variant diverges)
+    params = model.init(jax.random.PRNGKey(0), xys0[:, :8],
+                        rgbs[:, :, :64, :64], iters=1)
     fmaps = jax.jit(lambda p, r: model.apply(p, r, method=Pips.encode))(params, rgbs)
     def step(xys, m=model, mo=mode):
         out = m.apply(params, fmaps, xys, iters=6, is_train=False, corr_mode=mo,
