@@ -16,40 +16,90 @@ from typing import Callable, Dict, Iterator, Optional
 import jax
 import numpy as np
 
+# -- process-worker plumbing (module-level: must pickle by reference) -------
+_WORKER_DS = None
+
+
+def _proc_init(dataset):
+    global _WORKER_DS
+    _WORKER_DS = dataset
+
+
+def _proc_fetch(i: int):
+    sample, gotit = _WORKER_DS[i]
+    return sample if gotit else None
+
+
+def _make_pool(dataset, num_workers: int, use_processes: bool):
+    if not use_processes:
+        return ThreadPoolExecutor(max_workers=num_workers)
+    # Spawn (not fork): the parent typically holds a live JAX/TPU client
+    # whose background threads don't survive fork. Each worker imports the
+    # data modules fresh and gets its own decoded-frame caches; per-index
+    # seeding keeps samples deterministic regardless of which worker runs
+    # them. This is the reference's processes-per-GPU loader
+    # (``train.py:228-234``) done host-side.
+    import multiprocessing as mp
+    from concurrent.futures import ProcessPoolExecutor
+    return ProcessPoolExecutor(max_workers=num_workers,
+                               mp_context=mp.get_context("spawn"),
+                               initializer=_proc_init, initargs=(dataset,))
+
 
 def batch_iterator(dataset, batch_size: int, shuffle: bool = True, seed: int = 125,
                    num_workers: int = 8, grad_acc: int = 1,
-                   max_retries: int = 64) -> Iterator[Dict[str, np.ndarray]]:
+                   use_processes: bool = False) -> Iterator[Dict[str, np.ndarray]]:
     """Yield stacked batches, honoring the (sample, gotit) retry protocol.
+
+    Parallelism is CROSS-batch: a rolling window of in-flight sample futures
+    keeps all workers busy regardless of batch size (the previous
+    ``pool.map`` over one batch's indices serialized completely at B=1 —
+    sustained throughput was one worker's latency). Results are consumed in
+    submission order, so sequential mode still visits every index exactly
+    once per epoch with failed samples dropping out, and a fixed seed still
+    yields a deterministic sample sequence.
+
+    ``use_processes=True`` swaps the thread pool for spawned worker
+    processes — decode/augment work is partly GIL-bound (numpy small-op
+    glue), so threads plateau around 2-3x; processes scale with cores at
+    the cost of pickling samples back (~5 MB each, cheap vs decode).
 
     With grad_acc > 1, batches get a leading (grad_acc,) microbatch axis.
     """
+    from collections import deque
+
     rng = np.random.RandomState(seed)
     order_idx = 0
-    pool = ThreadPoolExecutor(max_workers=num_workers)
+    pool = _make_pool(dataset, num_workers, use_processes)
     eff_batch = batch_size * grad_acc
+    # in-flight pre-decoded samples: enough to saturate the workers and
+    # cover one batch; bounded to cap host RAM (~10-15 MB/sample at
+    # production crops)
+    depth = max(eff_batch, num_workers) + num_workers
+    inflight: deque = deque()
+
+    def next_index() -> int:
+        nonlocal order_idx
+        if shuffle:
+            return int(rng.randint(0, len(dataset)))
+        i = order_idx % len(dataset)
+        order_idx += 1
+        return i
 
     def fetch(i: int):
         sample, gotit = dataset[i]
         return sample if gotit else None
 
+    submit_fn = _proc_fetch if use_processes else fetch
+
     while True:
         samples = []
         while len(samples) < eff_batch:
-            want = eff_batch - len(samples)
-            if shuffle:
-                idxs = rng.randint(0, len(dataset), size=want * 2)
-                got = [s for s in pool.map(fetch, idxs) if s is not None]
-                samples.extend(got[:want])
-            else:
-                # Sequential mode (deterministic eval): visit every index
-                # exactly once per epoch — fetch exactly `want`, advance by
-                # what was fetched, and let failed samples drop out (the
-                # next inner-loop pass tops the batch up from later indices).
-                idxs = np.arange(order_idx, order_idx + want) % len(dataset)
-                order_idx += want
-                samples.extend(s for s in pool.map(fetch, idxs)
-                               if s is not None)
+            while len(inflight) < depth:
+                inflight.append(pool.submit(submit_fn, next_index()))
+            s = inflight.popleft().result()
+            if s is not None:
+                samples.append(s)
         batch = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
         if grad_acc > 1:
             batch = {k: v.reshape(grad_acc, batch_size, *v.shape[1:])

@@ -45,11 +45,22 @@ def load_params(model: Pips, init_dir: str, example_hw=(64, 96)):
         return model.init(jax.random.PRNGKey(0), xys, rgbs, iters=1)
 
     if os.path.isdir(init_dir) and saverloader.list_steps(init_dir):
+        # Accept either a bare variables checkpoint ({"params": ...}) or a
+        # full TrainState checkpoint ({"step", "params", "opt_state"}, where
+        # "params" holds the variables dict) as written by the train loop —
+        # eval only needs the params sub-tree.
+        raw, step = saverloader.load_raw(init_dir)
+        variables = raw["params"] if {"opt_state", "step"} <= set(raw) else raw
+        if "params" not in variables:
+            raise ValueError(
+                f"checkpoint in {init_dir} has no 'params' sub-tree "
+                f"(top-level keys: {sorted(raw)})")
         H, W = example_hw
         rgbs = jnp.zeros((1, model.S, H, W, 3))
         xys = jnp.ones((1, 4, 2))
         target = model.init(jax.random.PRNGKey(0), xys, rgbs, iters=1)
-        params, step = saverloader.load(init_dir, target)
+        from flax import serialization
+        params = serialization.from_state_dict(target, variables)
         print(f"loaded pips_tpu checkpoint at step {step} from {init_dir}")
         return params
 

@@ -51,6 +51,9 @@ class TrainConfig:
                                 # "pips2" (S-agnostic PIPs++, train2.py intent)
     num_workers: int = 8   # host loader threads (reference train.py:228
                            # used 16 *processes* per GPU)
+    loader_processes: bool = False  # spawn worker PROCESSES instead of
+                                    # threads (decode/augs are partly
+                                    # GIL-bound; processes scale with cores)
     metrics_every: int = 10  # host-sync metrics every K steps (device_get is
                              # a round-trip; the reference syncs every step)
     profile_dir: str = ""    # capture a jax.profiler trace of steps 10-15

@@ -149,7 +149,8 @@ def train(cfg: Optional[TrainConfig] = None) -> dict:
     train_it = DevicePrefetcher(
         batch_iterator(build_dataset(cfg, "train"), cfg.B, shuffle=cfg.shuffle,
                        seed=seed0, grad_acc=cfg.grad_acc,
-                       num_workers=cfg.num_workers),
+                       num_workers=cfg.num_workers,
+                       use_processes=cfg.loader_processes),
         put_fn=lambda b: shard_batch(mesh, b, cfg.grad_acc))
     val_it = None
     if cfg.val_freq > 0:

@@ -55,6 +55,22 @@ def save(ckpt_dir: str, tree: Any, step: int, keep_latest: int = 1) -> str:
     return path
 
 
+def load_raw(ckpt_dir: str, step: Optional[int] = None) -> tuple[Any, int]:
+    """Restore the max (or given) step WITHOUT a target structure.
+
+    Returns (nested plain dict, step) via msgpack_restore — useful when the
+    caller only wants a sub-tree (e.g. eval loading ``params`` out of a full
+    TrainState checkpoint) and doesn't know/care which pytree shape the
+    checkpoint was written with. Raises if no checkpoint exists.
+    """
+    steps = list_steps(ckpt_dir)
+    if not steps:
+        raise FileNotFoundError(f"no checkpoint found in {ckpt_dir}")
+    step = step if step is not None else steps[-1]
+    with open(_ckpt_path(ckpt_dir, step), "rb") as f:
+        return serialization.msgpack_restore(f.read()), step
+
+
 def load(ckpt_dir: str, target: Any, step: Optional[int] = None,
          ignore_load: Optional[Sequence[str]] = None) -> tuple[Any, int]:
     """Restore into ``target``'s structure from the max (or given) step.

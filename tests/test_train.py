@@ -152,6 +152,26 @@ def test_saverloader_roundtrip(tmp_path, tiny_batch):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+def test_load_params_from_trainstate_ckpt(tmp_path):
+    """Eval-side load_params unwraps a FULL TrainState checkpoint (the train
+    loop saves {step, params, opt_state}; regression: run_flt crashed trying
+    to restore it into a bare variables target)."""
+    from pips_tpu.evals.common import load_params
+
+    model = Pips(**TINY)
+    state = make_tiny_state(model)
+    saverloader.save(str(tmp_path), jax.device_get(state), 5)
+    params = load_params(model, str(tmp_path))
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    # bare variables checkpoints still load
+    saverloader.save(str(tmp_path), jax.device_get(state.params), 6)
+    params2 = load_params(model, str(tmp_path))
+    np.testing.assert_allclose(np.asarray(jax.tree.leaves(params2)[0]),
+                               np.asarray(jax.tree.leaves(state.params)[0]))
+
+
 def test_saverloader_ignore_load(tmp_path):
     model = Pips(**TINY)
     state = make_tiny_state(model)
@@ -233,6 +253,23 @@ class _RecordingDataset:
         self.requested.append(int(i))
         sample = {"x": np.full((2,), float(i), np.float32)}
         return sample, i not in self.bad
+
+
+def test_batch_iterator_process_pool_matches_threads():
+    """use_processes=True (spawned workers) yields byte-identical batches to
+    the thread pool for the same seed — per-index dataset seeding makes the
+    sample stream independent of which worker runs it."""
+    from pips_tpu.data import SyntheticPointDataset
+
+    ds = SyntheticPointDataset(S=4, N=8, H=32, W=48)
+    it_t = batch_iterator(ds, batch_size=2, seed=7, num_workers=2)
+    it_p = batch_iterator(ds, batch_size=2, seed=7, num_workers=2,
+                          use_processes=True)
+    for _ in range(3):
+        bt, bp = next(it_t), next(it_p)
+        assert sorted(bt) == sorted(bp)
+        for k in bt:
+            np.testing.assert_array_equal(bt[k], bp[k])
 
 
 def test_batch_iterator_sequential_visits_every_index():
