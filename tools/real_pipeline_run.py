@@ -53,13 +53,15 @@ def run_eval(root, init_dir, iters=6, max_iters=8, crop=(184, 248), N=64):
 
 def main(root="/tmp/flt_synth", steps=300, crop_h=184, crop_w=248, N=128,
          lr=3e-4, dtype="bfloat16", workers=8, ckpt_dir="/tmp/rpl_ckpts",
-         eval_iters=6, eval_max=8):
+         eval_iters=6, eval_max=8, val_every=0, probes=True):
     from pips_tpu.train.config import TrainConfig
     from pips_tpu.train.loop import train
 
     crop = (crop_h, crop_w)
-    loader_probe(root, crop, N, workers=workers)  # thread baseline
-    sps = loader_probe(root, crop, N, workers=workers, use_processes=True)
+    sps = float("nan")
+    if probes:
+        loader_probe(root, crop, N, workers=workers)  # thread baseline
+        sps = loader_probe(root, crop, N, workers=workers, use_processes=True)
 
     print("eval BEFORE training (random init):", flush=True)
     before = run_eval(root, "random", iters=eval_iters, max_iters=eval_max,
@@ -69,7 +71,7 @@ def main(root="/tmp/flt_synth", steps=300, crop_h=184, crop_w=248, N=128,
         B=1, S=8, N=N, I=4, crop_size=crop, dataset="flyingthings",
         dataset_location=root, use_augs=True, dtype=dtype,
         horz_flip=True, vert_flip=True, max_iters=steps, lr=lr,
-        log_freq=max(steps // 2, 1), val_freq=max(steps // 3, 1),
+        log_freq=max(steps // 2, 1), val_freq=val_every or max(steps // 3, 1),
         val_batches=4, save_freq=steps, keep_latest=1,
         ckpt_dir=ckpt_dir, log_dir="/tmp/rpl_train_logs",
         mesh_shape=(1, 1), metrics_every=10, num_workers=workers,
