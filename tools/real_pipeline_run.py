@@ -72,7 +72,7 @@ def main(root="/tmp/flt_synth", steps=300, crop_h=184, crop_w=248, N=128,
         dataset_location=root, use_augs=True, dtype=dtype,
         horz_flip=True, vert_flip=True, max_iters=steps, lr=lr,
         log_freq=max(steps // 2, 1), val_freq=val_every or max(steps // 3, 1),
-        val_batches=4, save_freq=steps, keep_latest=1,
+        val_batches=4, save_freq=min(steps, 500), keep_latest=1,
         ckpt_dir=ckpt_dir, log_dir="/tmp/rpl_train_logs",
         mesh_shape=(1, 1), metrics_every=10, num_workers=workers,
         loader_processes=True)
