@@ -46,6 +46,8 @@ def _min_of_3(fn, *args, _trial_eps=(1e-6, 2e-6, 3e-6)):
 
 
 def main(quick: bool = False):
+    from pips_tpu.utils.compcache import maybe_enable_compilation_cache
+    maybe_enable_compilation_cache()
     from pips_tpu.data import SyntheticPointDataset, batch_iterator
     from pips_tpu.models import Pips
     from pips_tpu.train.optim import make_optimizer

@@ -20,6 +20,9 @@ def make_pips(S: int = 8, stride: int = 8, dtype: str = "float32") -> Pips:
     default float32 keeps exact metric parity with the reference evals."""
     import jax.numpy as jnp
 
+    from pips_tpu.utils.compcache import maybe_enable_compilation_cache
+    maybe_enable_compilation_cache()
+
     from pips_tpu.kernels import fused_kernels_supported
 
     dt = jnp.bfloat16 if dtype in ("bfloat16", "bf16") else None

@@ -76,6 +76,8 @@ def init_state(cfg: TrainConfig, model: Pips, rng_seed: int = 0) -> TrainState:
 
 
 def train(cfg: Optional[TrainConfig] = None) -> dict:
+    from pips_tpu.utils.compcache import maybe_enable_compilation_cache
+    maybe_enable_compilation_cache()
     cfg = cfg or TrainConfig()
     if cfg.quick:  # smoke mode (reference train2.py:180-190 analog)
         # mesh pinned to one device: a wide point-sharded compile of the

@@ -126,6 +126,21 @@ def test_train_step_bf16_reduces_loss(tiny_batch):
     assert all(p.dtype == jnp.float32 for p in jax.tree.leaves(state.params))
 
 
+def test_compilation_cache_opt_in(tmp_path, monkeypatch):
+    """PIPS_JAX_CACHE wires jax's persistent compilation cache; unset = no-op."""
+    import pips_tpu.utils.compcache as cc
+
+    monkeypatch.setattr(cc, "_enabled", False)
+    monkeypatch.delenv("PIPS_JAX_CACHE", raising=False)
+    assert cc.maybe_enable_compilation_cache() is None
+    cache_dir = str(tmp_path / "jaxcache")
+    monkeypatch.setenv("PIPS_JAX_CACHE", cache_dir)
+    assert cc.maybe_enable_compilation_cache() == cache_dir
+    assert jax.config.jax_compilation_cache_dir == cache_dir
+    # idempotent
+    assert cc.maybe_enable_compilation_cache() == cache_dir
+
+
 def test_resolve_dtype_wiring():
     """cfg.dtype reaches the model (regression: it was a dead flag)."""
     from pips_tpu.train.config import TrainConfig
