@@ -28,7 +28,7 @@ def main(init_dir: str = "checkpoints/ref", images_dir: str = "./demo_images",
          out_dir: str = "./chain_out", S: int = 8, stride: int = 4, iters: int = 6,
          resize_hw=(360, 640), x0: float = 450.0, y0: float = 100.0, N: int = 1,
          grid: int = 0, max_frames: int = 0, on_device: bool = False,
-         bf16: bool = False):
+         bf16: bool = False, stream: bool = False):
     import imageio.v2 as imageio
 
     filenames = sorted(glob.glob(os.path.join(images_dir, "*.jpg")))
@@ -40,8 +40,23 @@ def main(init_dir: str = "checkpoints/ref", images_dir: str = "./demo_images",
     print(f"tracking through {T} frames")
 
     H_, W_ = resize_hw
-    rgbs = np.stack([imageio.imread(f) for f in filenames]).astype(np.float32)
-    rgbs = resize_video_half_pixel(rgbs, (H_, W_))
+
+    def _decode(fn):
+        return resize_video_half_pixel(
+            imageio.imread(fn)[None].astype(np.float32), (H_, W_))[0]
+
+    rgbs = None
+    if stream:
+        # double-buffered feed: jpg decode+resize on a background thread
+        # overlaps the device encode (north-star "TPU never stalls on
+        # video I/O"); frames are re-decoded afterwards for the GIF only
+        from pips_tpu.inference import FrameFeed
+        video_in = FrameFeed([(lambda f=f: _decode(f)) for f in filenames],
+                             chunk=S, depth=2)
+    else:
+        rgbs = np.stack([imageio.imread(f) for f in filenames]).astype(np.float32)
+        rgbs = resize_video_half_pixel(rgbs, (H_, W_))
+        video_in = rgbs
 
     if grid:
         from pips_tpu.inference.window import grid_queries
@@ -61,11 +76,14 @@ def main(init_dir: str = "checkpoints/ref", images_dir: str = "./demo_images",
         chain = ChainTracker(model, params, iters=iters)
 
     t0 = time.time()
-    trajs, vis = chain.track_video(rgbs, xys.astype(np.float32))
+    trajs, vis = chain.track_video(video_in, xys.astype(np.float32))
     dt = time.time() - t0
+    tag = " (decode streamed)" if stream else ""
     print(f"chained {len(xys)} points x {T} frames in {dt:.2f}s "
-          f"({len(xys) * T / dt:.0f} points*frames/sec)")
+          f"({len(xys) * T / dt:.0f} points*frames/sec){tag}")
 
+    if rgbs is None:
+        rgbs = np.stack([_decode(f) for f in filenames])
     gray = np.mean(rgbs, axis=-1, keepdims=True).repeat(3, -1).astype(np.uint8)
     vis_frames = draw_trajs_on_rgbs(gray, trajs, visibles=vis, cmap="spring",
                                     linewidth=2)

@@ -72,18 +72,15 @@ class ChainTracker:
         self.tracker = WindowTracker(model, params, iters=iters,
                                      corr_mode=corr_mode)
 
-    def encode_video(self, rgbs: np.ndarray) -> jnp.ndarray:
-        """rgbs: (T, H, W, 3) -> fmaps (T, H8, W8, C), chunked fixed-shape jits."""
-        T = rgbs.shape[0]
-        ck = self.encode_chunk
-        chunks = []
-        for t0 in range(0, T, ck):
-            chunk = rgbs[t0:t0 + ck]
-            pad = ck - chunk.shape[0]
-            if pad:
-                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)], 0)
-            fm = self.tracker.encode(chunk[None])[0]  # (ck, H8, W8, C)
-            chunks.append(fm[:ck - pad] if pad else fm)
+    def encode_video(self, rgbs) -> jnp.ndarray:
+        """rgbs: (T, H, W, 3) array or a ``FrameFeed`` -> fmaps (T, H8, W8, C).
+
+        Fixed-shape jitted encodes per chunk; with a feed, the host decode
+        of chunk k+1 overlaps the device encode of chunk k (async dispatch)."""
+        from pips_tpu.inference.feed import as_feed
+
+        chunks = [self.tracker.encode(c[None])[0][:n]  # (n, H8, W8, C)
+                  for c, n in as_feed(rgbs, self.encode_chunk)]
         return jnp.concatenate(chunks, axis=0)
 
     def _window_fmaps(self, fmaps: jnp.ndarray, t: int) -> jnp.ndarray:
@@ -92,16 +89,17 @@ class ChainTracker:
         idx = np.minimum(np.arange(t, t + self.S), T - 1)
         return fmaps[idx]
 
-    def track_video(self, rgbs: np.ndarray, xys: np.ndarray):
-        """rgbs: (T, H, W, 3) float [0,255]; xys: (N, 2) frame-0 queries.
+    def track_video(self, rgbs, xys: np.ndarray):
+        """rgbs: (T, H, W, 3) float [0,255] — or a ``FrameFeed`` streaming
+        the frames (double-buffered decode; see inference/feed.py);
+        xys: (N, 2) frame-0 queries.
 
         Returns (trajs (T, N, 2), vis (T, N) probabilities).
         """
-        T, H, W, _ = rgbs.shape
+        fmaps = self.encode_video(rgbs)
+        T = int(fmaps.shape[0])
         N = xys.shape[0]
         S = self.S
-
-        fmaps = self.encode_video(rgbs)
         C = fmaps.shape[-1]
 
         trajs = np.zeros((T, N, 2), np.float32)

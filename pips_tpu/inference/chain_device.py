@@ -132,21 +132,20 @@ class ChainTrackerOnDevice:
 
         self._chain = _chain
 
-    def encode_video(self, rgbs: np.ndarray, chunk: int = 8) -> jnp.ndarray:
-        T = rgbs.shape[0]
-        parts = []
-        for t0 in range(0, T, chunk):
-            c = rgbs[t0:t0 + chunk]
-            pad = chunk - c.shape[0]
-            if pad:
-                c = np.concatenate([c, np.repeat(c[-1:], pad, 0)], 0)
-            fm = self._encode(self.params, jnp.asarray(c, jnp.float32)[None])[0]
-            parts.append(fm[:chunk - pad] if pad else fm)
+    def encode_video(self, rgbs, chunk: int = 8) -> jnp.ndarray:
+        """rgbs: (T, H, W, 3) array or a ``FrameFeed`` (double-buffered host
+        decode overlapping the device encode; see inference/feed.py)."""
+        from pips_tpu.inference.feed import as_feed
+
+        parts = [self._encode(self.params, jnp.asarray(c)[None])[0][:n]
+                 for c, n in as_feed(rgbs, chunk)]
         return jnp.concatenate(parts, 0)
 
-    def track_video(self, rgbs: np.ndarray, xys: np.ndarray):
-        """rgbs: (T, H, W, 3) [0,255]; xys: (N, 2) -> (trajs (T,N,2), vis (T,N))."""
+    def track_video(self, rgbs, xys: np.ndarray):
+        """rgbs: (T, H, W, 3) [0,255] or a ``FrameFeed``; xys: (N, 2)
+        -> (trajs (T,N,2), vis (T,N))."""
         fmaps = self.encode_video(rgbs)
         trajs, vis = self._chain(self.params, fmaps,
-                                 jnp.asarray(xys, jnp.float32), rgbs.shape[0])
+                                 jnp.asarray(xys, jnp.float32),
+                                 int(fmaps.shape[0]))
         return np.asarray(trajs), np.asarray(vis)

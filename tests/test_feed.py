@@ -1,0 +1,111 @@
+"""FrameFeed double-buffered video feed: chunking protocol + engine parity.
+
+The feed must be a drop-in for a decoded (T, H, W, 3) array in both
+chaining engines (reference analog: chain_demo.py:104-117 decodes the
+whole video up front; the feed overlaps decode with device encode).
+"""
+
+import threading
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pips_tpu.inference import ChainTracker, ChainTrackerOnDevice, FrameFeed
+from pips_tpu.inference.feed import _ArrayChunks, as_feed
+from pips_tpu.models import Pips
+
+TINY = dict(S=4, stride=8, latent_dim=16, corr_levels=3, corr_radius=2,
+            mixer_dim=32, mixer_depth=2)
+
+
+def _video(T, H=16, W=24, seed=0):
+    return (np.random.RandomState(seed).rand(T, H, W, 3) * 255).astype(np.float32)
+
+
+@pytest.mark.parametrize("T,chunk", [(8, 4), (7, 4), (3, 8), (5, 5), (1, 4)])
+def test_feed_matches_array_chunks(T, chunk):
+    rgbs = _video(T)
+    got = list(FrameFeed(list(rgbs), chunk=chunk))
+    want = list(_ArrayChunks(rgbs, chunk))
+    assert len(got) == len(want)
+    for (gc, gn), (wc, wn) in zip(got, want):
+        assert gn == wn and gc.shape == wc.shape
+        np.testing.assert_array_equal(gc, wc)
+
+
+def test_feed_tail_padding_repeats_last_frame():
+    rgbs = _video(6)
+    chunks = list(FrameFeed(list(rgbs), chunk=4))
+    c, n = chunks[-1]
+    assert n == 2
+    np.testing.assert_array_equal(c[2], rgbs[5])
+    np.testing.assert_array_equal(c[3], rgbs[5])
+
+
+def test_feed_lazy_callables_and_transform_run_on_feed_thread():
+    rgbs = _video(5)
+    seen_threads = set()
+
+    def lazy(i):
+        def load():
+            seen_threads.add(threading.current_thread().name)
+            return rgbs[i]
+        return load
+
+    out = np.concatenate([c[:n] for c, n in
+                          FrameFeed([lazy(i) for i in range(5)], chunk=4,
+                                    transform=lambda f: f * 2.0)], 0)
+    np.testing.assert_allclose(out, rgbs * 2.0)
+    assert "MainThread" not in seen_threads  # decode happened off-thread
+
+
+def test_feed_propagates_decode_error():
+    def boom():
+        raise IOError("corrupt frame")
+
+    feed = FrameFeed([lambda: _video(1)[0], boom], chunk=4)
+    with pytest.raises(IOError, match="corrupt frame"):
+        list(feed)
+
+
+def test_as_feed_passthrough_and_validation():
+    rgbs = _video(4)
+    feed = FrameFeed(list(rgbs), chunk=2)
+    assert as_feed(feed, chunk=8) is feed  # the feed's own chunk wins
+    with pytest.raises(ValueError):
+        list(_ArrayChunks(rgbs[0], 4))  # not (T, H, W, C)
+    with pytest.raises(ValueError):
+        FrameFeed(list(rgbs), chunk=0)
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    model = Pips(**TINY)
+    T, H, W, N = 7, 64, 96, 3
+    rng = np.random.RandomState(7)
+    rgbs = (rng.rand(T, H, W, 3) * 255).astype(np.float32)
+    xys = (rng.rand(N, 2) * [W - 16, H - 16] + 8).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(xys[None]),
+                        jnp.asarray(rgbs[None, :4]), iters=1)
+    return model, params, rgbs, xys
+
+
+def test_chain_tracker_accepts_feed(tiny_setup):
+    model, params, rgbs, xys = tiny_setup
+    chain = ChainTracker(model, params, iters=1, encode_chunk=4)
+    t_a, v_a = chain.track_video(rgbs, xys)
+    t_f, v_f = chain.track_video(FrameFeed(list(rgbs), chunk=4), xys)
+    np.testing.assert_array_equal(t_a, t_f)
+    np.testing.assert_array_equal(v_a, v_f)
+
+
+def test_on_device_tracker_accepts_feed(tiny_setup):
+    model, params, rgbs, xys = tiny_setup
+    chain = ChainTrackerOnDevice(model, params, iters=1)
+    t_a, v_a = chain.track_video(rgbs, xys)
+    t_f, v_f = chain.track_video(FrameFeed(list(rgbs), chunk=8), xys)
+    np.testing.assert_array_equal(t_a, t_f)
+    np.testing.assert_array_equal(v_a, v_f)
