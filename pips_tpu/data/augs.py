@@ -66,16 +66,34 @@ def gaussian_blur(rgb: np.ndarray, rng: np.random.RandomState,
     return cv2.GaussianBlur(rgb, (ksize, ksize), sigma)
 
 
+def _mark_in_rects(xy: np.ndarray, rects, vis_row: np.ndarray) -> None:
+    """Zero vis_row (N,) where xy (N, 2) falls inside any (x0, x1, y0, y1)
+    half-open rect — one broadcast pass instead of a full-N scan per rect
+    (N runs ~1e5 once occluder trajectories join the pool)."""
+    if not rects:
+        return
+    r = np.asarray(rects, np.float32)  # (R, 4)
+    x, y = xy[:, 0], xy[:, 1]
+    occ = ((x >= r[:, 0, None]) & (x < r[:, 1, None])
+           & (y >= r[:, 2, None]) & (y < r[:, 3, None])).any(axis=0)
+    vis_row[occ] = 0
+
+
 def eraser_aug(rgbs: list[np.ndarray], trajs: np.ndarray, visibles: np.ndarray,
                rng: np.random.RandomState, prob: float = 0.9,
                bounds=(2, 100), max_count: int = 10):
     """Fill random rects (frames s>=1) with their mean color; points inside
-    become invisible (reference ``flyingthingsdataset.py:607-630``)."""
+    become invisible (reference ``flyingthingsdataset.py:607-630``).
+
+    Compositing is uint8-native (rect mean rounds to the nearest uint8,
+    ±1 LSB vs carrying float frames) — the full-frame float round-trips
+    were most of this aug's cost."""
     S = len(rgbs)
     H, W = rgbs[0].shape[:2]
-    rgbs = [r.astype(np.float32) for r in rgbs]
+    rgbs = [np.array(r, np.uint8) for r in rgbs]  # owned copies
     for i in range(1, S):
         if rng.rand() < prob:
+            rects = []
             for _ in range(rng.randint(1, max_count + 1)):
                 xc, yc = rng.randint(0, W), rng.randint(0, H)
                 dx = rng.randint(bounds[0], bounds[1])
@@ -87,11 +105,10 @@ def eraser_aug(rgbs: list[np.ndarray], trajs: np.ndarray, visibles: np.ndarray,
                 if x1 <= x0 or y1 <= y0:
                     continue
                 mean_color = rgbs[i][y0:y1, x0:x1].reshape(-1, 3).mean(axis=0)
-                rgbs[i][y0:y1, x0:x1] = mean_color
-                occ = ((trajs[i, :, 0] >= x0) & (trajs[i, :, 0] < x1)
-                       & (trajs[i, :, 1] >= y0) & (trajs[i, :, 1] < y1))
-                visibles[i, occ] = 0
-    return [r.astype(np.uint8) for r in rgbs], trajs, visibles
+                rgbs[i][y0:y1, x0:x1] = (mean_color + 0.5).astype(np.uint8)
+                rects.append((x0, x1, y0, y1))
+            _mark_in_rects(trajs[i], rects, visibles[i])
+    return rgbs, trajs, visibles
 
 
 def replace_aug(rgbs: list[np.ndarray], trajs: np.ndarray, visibles: np.ndarray,
@@ -112,6 +129,7 @@ def replace_aug(rgbs: list[np.ndarray], trajs: np.ndarray, visibles: np.ndarray,
     rgbs = [np.array(r, np.uint8) for r in rgbs]  # owned copies, stay uint8
     for i in range(1, S):
         if rng.rand() < prob:
+            rects = []
             for _ in range(rng.randint(1, max_count + 1)):
                 xc, yc = rng.randint(0, W), rng.randint(0, H)
                 dx = rng.randint(bounds[0], bounds[1])
@@ -127,9 +145,8 @@ def replace_aug(rgbs: list[np.ndarray], trajs: np.ndarray, visibles: np.ndarray,
                 x00 = rng.randint(0, W - wid)
                 fr = rng.randint(0, S)
                 rgbs[i][y0:y1, x0:x1] = alt_frame(fr)[y00:y00 + hei, x00:x00 + wid]
-                occ = ((trajs[i, :, 0] >= x0) & (trajs[i, :, 0] < x1)
-                       & (trajs[i, :, 1] >= y0) & (trajs[i, :, 1] < y1))
-                visibles[i, occ] = 0
+                rects.append((x0, x1, y0, y1))
+            _mark_in_rects(trajs[i], rects, visibles[i])
     return rgbs, trajs, visibles
 
 

@@ -68,6 +68,14 @@ def _load_mask_cached(path: str) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=_FRAME_CACHE_SIZE)
+def _load_occ_info_cached(path: str) -> dict:
+    """Occluder trajectory dict {id_str: (S, n, 2) float32}; occluders are
+    redrawn from a shared pool, so the np.load+unpickle runs once per file."""
+    info = np.load(path, allow_pickle=True).item()
+    return {k: _read_only(np.asarray(v, np.float32)) for k, v in info.items()}
+
+
+@functools.lru_cache(maxsize=_FRAME_CACHE_SIZE)
 def _load_id_mask_cached(path: str, occ_id: int):
     """(bool mask, (y0, y1, x0, x1) or None): one object's support in one
     frame. The full-frame ``== id`` compare and bbox scan run once per
@@ -82,6 +90,54 @@ def _load_id_mask_cached(path: str, occ_id: int):
     x0 = int(cols.argmax())
     x1 = int(len(cols) - cols[::-1].argmax())
     return _read_only(m), (y0, y1, x0, x1)
+
+
+def visibility_filter(trajs, visibles, valids, occs, crop_size, *,
+                      force_twice_vis=True, force_last_vis=False,
+                      force_all_inb=False):
+    """Post-aug visibility bookkeeping + trajectory filters
+    (reference ``flyingthingsdataset.py:314-432`` semantics):
+
+      * a point on an occ==255 padding pixel (rounded coords, in-bounds)
+        or out of bounds (unrounded coords) becomes invisible;
+      * twice-visible filter: keep points visible at frame 0 AND >=1 other
+        frame, in-bounds likewise (the two "other" frames may differ);
+      * optional last-visible / all-in-bounds filters.
+
+    One vectorized pass over (S, N) — N runs ~1e5 pre-subsample (base
+    points plus every pasted occluder's own trajectories), so per-frame
+    python loops dominate a sample's load time here.
+    """
+    S = len(occs)
+    H, W = crop_size
+    xy = trajs.round().astype(np.int32)                       # (S, N, 2)
+    xcl = xy[..., 0].clip(0, W - 1)
+    ycl = xy[..., 1].clip(0, H - 1)
+    inb_r = ((xy[..., 0] >= 0) & (xy[..., 0] <= W - 1)
+             & (xy[..., 1] >= 0) & (xy[..., 1] <= H - 1))
+    on_pad = np.stack([occs[s][ycl[s], xcl[s]] == 255 for s in range(S)])
+    # in-bounds in float coords (the reference's oob test is unrounded)
+    inb_f = ((trajs[..., 0] >= 0) & (trajs[..., 0] <= W - 1)
+             & (trajs[..., 1] >= 0) & (trajs[..., 1] <= H - 1))
+    visibles = np.array(visibles)
+    visibles[(on_pad & inb_r) | ~inb_f] = 0
+
+    if force_twice_vis:
+        vis = visibles > 0
+        keep = (inb_f[0] & inb_f[1:].any(axis=0)
+                & vis[0] & vis[1:].any(axis=0))
+        trajs, visibles, valids = trajs[:, keep], visibles[:, keep], valids[:, keep]
+        inb_f = inb_f[:, keep]
+
+    if force_last_vis:
+        keep = (visibles[-1] > 0) & inb_f[-1]
+        trajs, visibles, valids = trajs[:, keep], visibles[:, keep], valids[:, keep]
+        inb_f = inb_f[:, keep]
+
+    if force_all_inb:
+        keep = inb_f.all(axis=0)
+        trajs, visibles, valids = trajs[:, keep], visibles[:, keep], valids[:, keep]
+    return trajs, visibles, valids
 
 
 class FlyingThingsDataset:
@@ -147,73 +203,92 @@ class FlyingThingsDataset:
 
         Host-throughput design: source frames/masks come from the shared LRU
         caches, and ALL per-pixel work (mask blur, photometric jitter,
-        compositing) runs on the occluder's union bounding box rather than
-        the full frame — an occluder typically covers a few percent of the
-        frame, and the full-frame version measured ~7 s/sample of pure
-        occluder pasting. Jitter statistics (contrast/saturation anchors)
-        are bbox-local rather than full-frame; the jitter parameters are
-        random draws, so the augmentation distribution is unchanged in
-        spirit (documented deviation).
+        compositing) runs on each frame's OWN support bounding box — an
+        occluder typically covers a few percent of the frame, and a moving
+        one's union-across-frames box can span most of it (the full-frame
+        version measured ~7 s/sample of pure pasting; the union-box one
+        ~0.5 s). Compositing stays uint8 (per-paste rounding instead of one
+        final truncation: ±1 LSB where pastes overlap). Jitter statistics
+        (contrast/saturation anchors) are bbox-local rather than
+        full-frame; the jitter parameters are random draws, so the
+        augmentation distribution is unchanged in spirit (documented
+        deviation).
         """
         S = len(rgbs)
         H, W = rgbs[0].shape[:2]
-        rgbs = [r.astype(np.float32) for r in rgbs]
+        rgbs = [np.array(r, np.uint8) for r in rgbs]  # owned, mutated in place
         occs = [np.zeros((H, W), np.float32) for _ in rgbs]
 
         if self.occluders:
+            # rounded/clipped/in-bounds views of trajs, grown incrementally
+            # as occluder trajectories append (each occluder clip carries
+            # thousands of its own points — recomputing these per paste was
+            # the pasting hot spot, not the pixels)
+            xy = trajs.round().astype(np.int32)
+            xcl = xy[..., 0].clip(0, W - 1)
+            ycl = xy[..., 1].clip(0, H - 1)
+            inb = ((xy[..., 0] >= 0) & (xy[..., 0] <= W - 1)
+                   & (xy[..., 1] >= 0) & (xy[..., 1] <= H - 1))
+
             n_occ = min(self.max_occluders, len(self.occluders))
             alt_inds = rng.choice(len(self.occluders), n_occ, replace=False)
             for alt_ind in alt_inds:
                 occ_rgb_dir, occ_mask_dir, occ_start, occ_fn = self.occluders[alt_ind]
                 # truncate occluder clips to the (possibly subsampled) S
                 img_names = self._frame_names(occ_rgb_dir, occ_start)[:S]
-                occ_info = np.load(occ_fn, allow_pickle=True).item()
+                occ_info = _load_occ_info_cached(occ_fn)
                 id_str = list(occ_info.keys())[rng.choice(len(occ_info))]
-                alt_trajs = np.array(occ_info[id_str], np.float32)[:S]
+                alt_trajs = occ_info[id_str][:S]
                 occ_id = int(id_str)
 
                 masks_boxes = [
                     _load_id_mask_cached(
                         os.path.join(occ_mask_dir, n + ".pfm"), occ_id)
                     for n in img_names]
-
-                # union support across frames (from cached per-frame bboxes)
-                # bounds every per-pixel op
-                boxes = [b for _, b in masks_boxes if b is not None]
-                if not boxes:
+                if all(b is None for _, b in masks_boxes):
                     continue
                 pad = 2  # blur halo
-                y0 = max(min(b[0] for b in boxes) - pad, 0)
-                y1 = min(max(b[1] for b in boxes) + pad, H)
-                x0 = max(min(b[2] for b in boxes) - pad, 0)
-                x1 = min(max(b[3] for b in boxes) + pad, W)
+                boxes = [None if b is None else
+                         (max(b[0] - pad, 0), min(b[1] + pad, H),
+                          max(b[2] - pad, 0), min(b[3] + pad, W))
+                         for _, b in masks_boxes]
 
                 sub_rgbs = [
+                    None if bx is None else
                     np.array(_load_webp_cached(
-                        os.path.join(occ_rgb_dir, n + ".webp"))[y0:y1, x0:x1])
-                    for n in img_names]
+                        os.path.join(occ_rgb_dir, n + ".webp"))
+                        [bx[0]:bx[1], bx[2]:bx[3]])
+                    for n, bx in zip(img_names, boxes)]
                 # photometric stack on the crops (same draw protocol as
                 # photometric_augs with eraser/replace off)
                 if rng.rand() < 0.5:
-                    sub_rgbs = [color_jitter(r, rng) for r in sub_rgbs]
+                    sub_rgbs = [None if r is None else color_jitter(r, rng)
+                                for r in sub_rgbs]
                 if rng.rand() < 0.5:
-                    sub_rgbs = [gaussian_blur(r, rng) for r in sub_rgbs]
+                    sub_rgbs = [None if r is None else gaussian_blur(r, rng)
+                                for r in sub_rgbs]
 
                 for s in range(S):
+                    if boxes[s] is None:
+                        continue
+                    y0, y1, x0, x1 = boxes[s]
                     m = masks_boxes[s][0][y0:y1, x0:x1].astype(np.float32)
                     mb = (np.clip(cv2.GaussianBlur(m, (3, 3), 0), 0, 1)
                           if cv2 is not None else m)[..., None]
-                    reg = rgbs[s][y0:y1, x0:x1]
-                    rgbs[s][y0:y1, x0:x1] = reg * (1.0 - mb) + sub_rgbs[s] * mb
+                    reg = rgbs[s][y0:y1, x0:x1].astype(np.float32)
+                    blend = reg * (1.0 - mb) + sub_rgbs[s] * mb
+                    rgbs[s][y0:y1, x0:x1] = (blend + 0.5).astype(np.uint8)
                     occs[s][y0:y1, x0:x1] += m
 
-                    xy = trajs[s].round().astype(np.int32)
-                    x, y = xy[:, 0], xy[:, 1]
-                    xc = x.clip(0, W - 1)
-                    yc = y.clip(0, H - 1)
-                    covered = (masks_boxes[s][0][yc, xc] & (x >= 0) & (x <= W - 1)
-                               & (y >= 0) & (y <= H - 1))
-                    visibles[s, covered] = 0
+                    # covered => inside this frame's support bbox: cheap
+                    # vector compares prune the per-point mask gather to the
+                    # few percent of points near the occluder
+                    cand = np.nonzero((xcl[s] >= x0) & (xcl[s] < x1)
+                                      & (ycl[s] >= y0) & (ycl[s] < y1)
+                                      & inb[s])[0]
+                    if cand.size:
+                        hit = masks_boxes[s][0][ycl[s][cand], xcl[s][cand]]
+                        visibles[s, cand[hit]] = 0
 
                 alt_vis = np.ones((self.S, alt_trajs.shape[1]), np.float32)
                 alt_val = np.ones((self.S, alt_trajs.shape[1]), np.float32)
@@ -221,7 +296,13 @@ class FlyingThingsDataset:
                 valids = np.concatenate([valids, alt_val], axis=1)
                 visibles = np.concatenate([visibles, alt_vis], axis=1)
 
-        rgbs = [r.astype(np.uint8) for r in rgbs]
+                axy = alt_trajs.round().astype(np.int32)
+                xcl = np.concatenate([xcl, axy[..., 0].clip(0, W - 1)], axis=1)
+                ycl = np.concatenate([ycl, axy[..., 1].clip(0, H - 1)], axis=1)
+                inb = np.concatenate(
+                    [inb, (axy[..., 0] >= 0) & (axy[..., 0] <= W - 1)
+                     & (axy[..., 1] >= 0) & (axy[..., 1] <= H - 1)], axis=1)
+
         return rgbs, occs, masks, trajs, visibles, valids
 
     def getitem_helper(self, index: int):
@@ -265,43 +346,11 @@ class FlyingThingsDataset:
             rgbs, occs, masks, trajs = just_crop(rgbs, occs, masks, trajs, rng,
                                                  self.crop_size)
 
-        H, W = self.crop_size
-        # padding (occ==255) and out-of-bounds kill visibility
-        for s in range(self.S):
-            xy = trajs[s].round().astype(np.int32)
-            x, y = xy[:, 0], xy[:, 1]
-            xc, yc = x.clip(0, W - 1), y.clip(0, H - 1)
-            padded = ((occs[s][yc, xc] == 255) & (x >= 0) & (x <= W - 1)
-                      & (y >= 0) & (y <= H - 1))
-            visibles[s, padded] = 0
-            oob = (trajs[s, :, 0] < 0) | (trajs[s, :, 0] > W - 1) \
-                | (trajs[s, :, 1] < 0) | (trajs[s, :, 1] > H - 1)
-            visibles[s, oob] = 0
-
-        def inb(s):
-            return ((trajs[s, :, 0] >= 0) & (trajs[s, :, 0] <= W - 1)
-                    & (trajs[s, :, 1] >= 0) & (trajs[s, :, 1] <= H - 1))
-
-        if self.force_twice_vis:
-            vis0 = visibles[0] > 0
-            inb0 = inb(0)
-            vis_other = visibles[1] > 0
-            inb_other = inb(1)
-            for s in range(2, self.S):
-                vis_other |= visibles[s] > 0
-                inb_other |= inb(s)
-            keep = (inb0 & inb_other) & (vis0 & vis_other)
-            trajs, visibles, valids = trajs[:, keep], visibles[:, keep], valids[:, keep]
-
-        if self.force_last_vis:
-            keep = (visibles[-1] > 0) & inb(self.S - 1)
-            trajs, visibles, valids = trajs[:, keep], visibles[:, keep], valids[:, keep]
-
-        if self.force_all_inb:
-            keep = inb(0)
-            for s in range(1, self.S):
-                keep &= inb(s)
-            trajs, visibles, valids = trajs[:, keep], visibles[:, keep], valids[:, keep]
+        trajs, visibles, valids = visibility_filter(
+            trajs, visibles, valids, occs, self.crop_size,
+            force_twice_vis=self.force_twice_vis,
+            force_last_vis=self.force_last_vis,
+            force_all_inb=self.force_all_inb)
 
         if trajs.shape[1] <= self.N:
             return None, False

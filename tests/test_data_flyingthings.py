@@ -104,3 +104,68 @@ def test_failure_returns_fake_sample(fake_flt):
     assert not gotit
     assert sample["rgbs"].shape == (8, 96, 128, 3)
     assert sample["valids"].sum() == 0
+
+
+def test_visibility_filter_matches_reference_loop():
+    """Oracle: literal per-frame transcription of the padding/oob/twice-vis
+    bookkeeping (reference flyingthingsdataset.py:314-432) vs the vectorized
+    visibility_filter, on random inputs with exact-boundary edge cases."""
+    from pips_tpu.data.flyingthings import visibility_filter
+
+    def oracle(trajs, visibles, valids, occs, crop_size,
+               force_twice_vis, force_last_vis, force_all_inb):
+        trajs, visibles, valids = trajs.copy(), visibles.copy(), valids.copy()
+        S = len(occs)
+        H, W = crop_size
+        for s in range(S):
+            xy = trajs[s].round().astype(np.int32)
+            x, y = xy[:, 0], xy[:, 1]
+            xc, yc = x.clip(0, W - 1), y.clip(0, H - 1)
+            padded = ((occs[s][yc, xc] == 255) & (x >= 0) & (x <= W - 1)
+                      & (y >= 0) & (y <= H - 1))
+            visibles[s, padded] = 0
+            oob = (trajs[s, :, 0] < 0) | (trajs[s, :, 0] > W - 1) \
+                | (trajs[s, :, 1] < 0) | (trajs[s, :, 1] > H - 1)
+            visibles[s, oob] = 0
+
+        def inb(s):
+            return ((trajs[s, :, 0] >= 0) & (trajs[s, :, 0] <= W - 1)
+                    & (trajs[s, :, 1] >= 0) & (trajs[s, :, 1] <= H - 1))
+
+        if force_twice_vis:
+            vis0, inb0 = visibles[0] > 0, inb(0)
+            vis_other, inb_other = visibles[1] > 0, inb(1)
+            for s in range(2, S):
+                vis_other |= visibles[s] > 0
+                inb_other |= inb(s)
+            keep = (inb0 & inb_other) & (vis0 & vis_other)
+            trajs, visibles, valids = trajs[:, keep], visibles[:, keep], valids[:, keep]
+        if force_last_vis:
+            keep = (visibles[-1] > 0) & inb(S - 1)
+            trajs, visibles, valids = trajs[:, keep], visibles[:, keep], valids[:, keep]
+        if force_all_inb:
+            keep = inb(0)
+            for s in range(1, S):
+                keep &= inb(s)
+            trajs, visibles, valids = trajs[:, keep], visibles[:, keep], valids[:, keep]
+        return trajs, visibles, valids
+
+    rng = np.random.RandomState(9)
+    S, N, H, W = 5, 400, 40, 56
+    for flags in [(True, False, False), (False, True, False),
+                  (False, False, True), (True, True, True),
+                  (False, False, False)]:
+        trajs = (rng.rand(S, N, 2) * [W + 20, H + 20] - 10).astype(np.float32)
+        # exact-boundary cases: x == W-1 (in), x == -0.5 (rounds to 0, oob)
+        trajs[0, :4] = [[W - 1, H - 1], [-0.5, 5], [W - 0.6, 5], [0, 0]]
+        occs = [np.where(rng.rand(H, W) < 0.3, 255.0, 0.0).astype(np.float32)
+                for _ in range(S)]
+        visibles = (rng.rand(S, N) > 0.2).astype(np.float32)
+        valids = np.ones((S, N), np.float32)
+        got = visibility_filter(trajs, visibles, valids, occs, (H, W),
+                                force_twice_vis=flags[0],
+                                force_last_vis=flags[1],
+                                force_all_inb=flags[2])
+        want = oracle(trajs, visibles, valids, occs, (H, W), *flags)
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(g, w)
