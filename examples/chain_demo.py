@@ -76,7 +76,12 @@ def main(init_dir: str = "checkpoints/ref", images_dir: str = "./demo_images",
         chain = ChainTracker(model, params, iters=iters)
 
     t0 = time.time()
-    trajs, vis = chain.track_video(video_in, xys.astype(np.float32))
+    if stream and not on_device:
+        # fully online: windows refine as frames decode+encode, features
+        # behind the earliest pending window are evicted (bounded HBM)
+        trajs, vis = chain.track_stream(video_in, xys.astype(np.float32))
+    else:
+        trajs, vis = chain.track_video(video_in, xys.astype(np.float32))
     dt = time.time() - t0
     tag = " (decode streamed)" if stream else ""
     print(f"chained {len(xys)} points x {T} frames in {dt:.2f}s "

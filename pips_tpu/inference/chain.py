@@ -117,42 +117,132 @@ class ChainTracker:
             if not pts:
                 continue
             fm_win = self._window_fmaps(fmaps, t)[None]  # (1, S, H8, W8, C)
-            S_local = min(S, T - t)
-            for i0 in range(0, len(pts), self.capacity):
-                group = pts[i0:i0 + self.capacity]
-                K = len(group)
-                # pad to a power-of-two bucket (>=8) so jit caches stay bounded
-                bucket = 8
-                while bucket < K:
-                    bucket *= 2
-                bucket = min(bucket, self.capacity)
-                padded = group + [group[0]] * (bucket - K)
-                q = trajs[t, padded][None]  # (1, bucket, 2)
-                if has_feat[group].all():
-                    f = feats[padded][None]
-                    coords, vis_e, _ = self.tracker.track(fm_win, q, jnp.asarray(f))
-                else:
-                    assert not has_feat[group].any(), "mixed feat groups impossible: all start at t=0"
-                    coords, vis_e, ffeat = self.tracker.track(fm_win, q)
-                    feats[group] = np.asarray(ffeat[0])[:K]
-                    has_feat[group] = True
-                coords = np.asarray(coords[0])[:, :K]   # (S, K, 2)
-                vis_p = 1.0 / (1.0 + np.exp(-np.asarray(vis_e[0])))[:, :K]  # (S, K)
-
-                trajs[t:t + S_local, group] = coords[:S_local]
-                vis_out[t:t + S_local, group] = vis_p[:S_local]
-
-                if t + 1 >= T:
-                    continue
-                skips = self.select_fn(vis_p.T, S=S)  # (K,)
-                # vectorized requeue: bucket points by next window start
-                # (dense-grid regime runs this with K in the thousands)
-                nxts = t + skips[:K].astype(np.int64)
-                ids = np.asarray(group, np.int64)[nxts < T]
-                nxts = nxts[nxts < T]
-                order = np.argsort(nxts, kind="stable")
-                ids, nxts = ids[order], nxts[order]
-                uniq, starts = np.unique(nxts, return_index=True)
-                for u, bucket in zip(uniq, np.split(ids, starts[1:])):
-                    queue[int(u)].extend(bucket.tolist())
+            self._run_window(fm_win, t, pts, T, trajs, vis_out, feats,
+                             has_feat, queue)
         return trajs, vis_out
+
+    def _run_window(self, fm_win, t: int, pts: list[int], T: int,
+                    trajs, vis_out, feats, has_feat, queue) -> None:
+        """Refine every point whose window starts at t (batched, padded to
+        fixed-shape buckets), write results into trajs/vis_out in place,
+        and requeue each point at its skip-rule next start (< T)."""
+        S = self.S
+        S_local = min(S, T - t)
+        for i0 in range(0, len(pts), self.capacity):
+            group = pts[i0:i0 + self.capacity]
+            K = len(group)
+            # pad to a power-of-two bucket (>=8) so jit caches stay bounded
+            bucket = 8
+            while bucket < K:
+                bucket *= 2
+            bucket = min(bucket, self.capacity)
+            padded = group + [group[0]] * (bucket - K)
+            q = trajs[t, padded][None]  # (1, bucket, 2)
+            if has_feat[group].all():
+                f = feats[padded][None]
+                coords, vis_e, _ = self.tracker.track(fm_win, q, jnp.asarray(f))
+            else:
+                assert not has_feat[group].any(), "mixed feat groups impossible: all start at t=0"
+                coords, vis_e, ffeat = self.tracker.track(fm_win, q)
+                feats[group] = np.asarray(ffeat[0])[:K]
+                has_feat[group] = True
+            coords = np.asarray(coords[0])[:, :K]   # (S, K, 2)
+            vis_p = 1.0 / (1.0 + np.exp(-np.asarray(vis_e[0])))[:, :K]  # (S, K)
+
+            trajs[t:t + S_local, group] = coords[:S_local]
+            vis_out[t:t + S_local, group] = vis_p[:S_local]
+
+            if t + 1 >= T:
+                continue
+            skips = self.select_fn(vis_p.T, S=S)  # (K,)
+            # vectorized requeue: bucket points by next window start
+            # (dense-grid regime runs this with K in the thousands)
+            nxts = t + skips[:K].astype(np.int64)
+            ids = np.asarray(group, np.int64)[nxts < T]
+            nxts = nxts[nxts < T]
+            order = np.argsort(nxts, kind="stable")
+            ids, nxts = ids[order], nxts[order]
+            uniq, starts = np.unique(nxts, return_index=True)
+            for u, bucket in zip(uniq, np.split(ids, starts[1:])):
+                queue[int(u)].extend(bucket.tolist())
+
+    def track_stream(self, frames, xys: np.ndarray):
+        """Online chaining over a frame stream, in bounded device memory.
+
+        Each window is refined as soon as its S frames are encoded (frames
+        keep decoding/encoding while earlier windows refine), and encoded
+        features behind the earliest pending window start are evicted — the
+        device holds O(S + encode_chunk) frames of features instead of all
+        T, so arbitrarily long (or live, length-unknown) videos track
+        without exhausting HBM (``track_video`` keeps the full (T, H8, W8,
+        C) stack: ~1.8 MB/frame at 360x640 — a 10k-frame video would need
+        ~18 GB).
+
+        frames: a ``FrameFeed``, any iterable of (H, W, 3) frames, or a
+        decoded (T, H, W, 3) array. xys: (N, 2) frame-0 queries. Returns
+        (trajs (T, N, 2), vis (T, N)) — EXACTLY equal to
+        ``track_video(same_frames, xys)``: same windows, same queries, same
+        skip rule (window starts advance monotonically, which is also what
+        makes eviction safe).
+        """
+        from pips_tpu.inference.feed import as_feed
+
+        S, ck = self.S, self.encode_chunk
+        N = xys.shape[0]
+        it = iter(as_feed(frames, ck))
+
+        store: dict[int, jnp.ndarray] = {}  # chunk idx -> (ck, H8, W8, C)
+        state = {"T": 0, "eof": False}
+
+        def encode_next():
+            try:
+                c, n = next(it)
+            except StopIteration:
+                state["eof"] = True
+                return
+            assert state["T"] % ck == 0, "short chunk not last in stream"
+            store[state["T"] // ck] = self.tracker.encode(c[None])[0]
+            state["T"] += n
+
+        encode_next()
+        if state["T"] == 0:
+            raise ValueError("empty frame stream")
+        C = store[0].shape[-1]
+
+        cap = max(2 * ck, S)
+        trajs = np.zeros((cap, N, 2), np.float32)
+        vis_out = np.zeros((cap, N), np.float32)
+        trajs[0] = xys
+        feats = np.zeros((N, C), np.float32)
+        has_feat = np.zeros(N, bool)
+        queue: dict[int, list[int]] = defaultdict(list)
+        queue[0] = list(range(N))
+
+        while queue:
+            t = min(queue)
+            while not state["eof"] and state["T"] < t + S:
+                encode_next()
+            T_enc = state["T"]
+            if t >= T_enc:  # starts past the final frame (safety net)
+                break
+            if t + S > trajs.shape[0]:  # grow host output buffers
+                grow = max(trajs.shape[0], t + S - trajs.shape[0])
+                trajs = np.concatenate(
+                    [trajs, np.zeros((grow, N, 2), np.float32)])
+                vis_out = np.concatenate(
+                    [vis_out, np.zeros((grow, N), np.float32)])
+            # before EOF a full window is guaranteed (loop above), and every
+            # next start < t + S, so passing T = t + S makes _run_window's
+            # S_local/requeue logic exact without knowing the final length
+            T_arg = T_enc if state["eof"] else t + S
+            idx = np.minimum(np.arange(t, t + S), T_enc - 1)
+            fm_win = jnp.stack([store[i // ck][i % ck] for i in idx])[None]
+            self._run_window(fm_win, t, queue.pop(t), T_arg, trajs, vis_out,
+                             feats, has_feat, queue)
+            self.stream_peak_chunks = max(
+                getattr(self, "stream_peak_chunks", 0), len(store))
+            if queue:  # evict feature chunks behind the earliest pending start
+                tmin = min(queue)
+                for k in [k for k in store if (k + 1) * ck <= tmin]:
+                    del store[k]
+        return trajs[:state["T"]], vis_out[:state["T"]]

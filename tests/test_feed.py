@@ -109,3 +109,42 @@ def test_on_device_tracker_accepts_feed(tiny_setup):
     t_f, v_f = chain.track_video(FrameFeed(list(rgbs), chunk=8), xys)
     np.testing.assert_array_equal(t_a, t_f)
     np.testing.assert_array_equal(v_a, v_f)
+
+
+def test_track_stream_equals_track_video(tiny_setup):
+    """Online (windows refined as frames arrive, features evicted) must
+    EXACTLY equal offline chaining; peak feature memory stays O(S+chunk)."""
+    model, params, rgbs, xys = tiny_setup
+    chain = ChainTracker(model, params, iters=1, encode_chunk=4)
+    t_off, v_off = chain.track_video(rgbs, xys)
+
+    chain.stream_peak_chunks = 0
+    t_arr, v_arr = chain.track_stream(rgbs, xys)             # array input
+    np.testing.assert_array_equal(t_off, t_arr)
+    np.testing.assert_array_equal(v_off, v_arr)
+    # 7 frames / chunk 4 -> 2 chunks total; eviction can't exceed that, but
+    # the window span bound is what matters on long videos (next test)
+    assert chain.stream_peak_chunks <= 2
+
+    t_f, v_f = chain.track_stream(FrameFeed(list(rgbs), chunk=4), xys)
+    np.testing.assert_array_equal(t_off, t_f)
+    np.testing.assert_array_equal(v_off, v_f)
+
+
+def test_track_stream_evicts_on_long_video():
+    model = Pips(**TINY)
+    T, H, W, N = 25, 64, 96, 2
+    rng = np.random.RandomState(3)
+    rgbs = (rng.rand(T, H, W, 3) * 255).astype(np.float32)
+    xys = (rng.rand(N, 2) * [W - 16, H - 16] + 8).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(xys[None]),
+                        jnp.asarray(rgbs[None, :4]), iters=1)
+    chain = ChainTracker(model, params, iters=1, encode_chunk=4)
+    t_off, v_off = chain.track_video(rgbs, xys)
+    chain.stream_peak_chunks = 0
+    t_on, v_on = chain.track_stream(FrameFeed(list(rgbs), chunk=4), xys)
+    np.testing.assert_array_equal(t_off, t_on)
+    np.testing.assert_array_equal(v_off, v_on)
+    # 25 frames = 7 chunks; a window spans ceil(S/ck)+1 = 2 chunks and the
+    # encode lookahead adds ~1 — far below holding the whole video
+    assert chain.stream_peak_chunks <= 3, chain.stream_peak_chunks
