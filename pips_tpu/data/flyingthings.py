@@ -234,11 +234,18 @@ class FlyingThingsDataset:
             alt_inds = rng.choice(len(self.occluders), n_occ, replace=False)
             for alt_ind in alt_inds:
                 occ_rgb_dir, occ_mask_dir, occ_start, occ_fn = self.occluders[alt_ind]
-                # truncate occluder clips to the (possibly subsampled) S
+                # truncate occluder clips to the (possibly subsampled) S;
+                # skip clips too short to cover the window (indexing
+                # masks_boxes[s] for s in range(S) would IndexError past
+                # __getitem__'s error protocol otherwise)
                 img_names = self._frame_names(occ_rgb_dir, occ_start)[:S]
+                if len(img_names) < S:
+                    continue
                 occ_info = _load_occ_info_cached(occ_fn)
                 id_str = list(occ_info.keys())[rng.choice(len(occ_info))]
                 alt_trajs = occ_info[id_str][:S]
+                if alt_trajs.shape[0] < S:  # clip shorter than the window
+                    continue
                 occ_id = int(id_str)
 
                 masks_boxes = [

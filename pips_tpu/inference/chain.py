@@ -154,7 +154,13 @@ class ChainTracker:
 
             if t + 1 >= T:
                 continue
-            skips = self.select_fn(vis_p.T, S=S)  # (K,)
+            skips = np.asarray(self.select_fn(vis_p.T, S=S))  # (K,)
+            if ((skips[:K] < 1) | (skips[:K] > S - 1)).any():
+                # both engines assume forward progress bounded by the window
+                # (track_stream's eviction + pre-EOF requeue depend on it)
+                raise ValueError(
+                    f"select_fn must return skips in [1, {S - 1}], got "
+                    f"range [{skips[:K].min()}, {skips[:K].max()}]")
             # vectorized requeue: bucket points by next window start
             # (dense-grid regime runs this with K in the thousands)
             nxts = t + skips[:K].astype(np.int64)
@@ -187,9 +193,12 @@ class ChainTracker:
         """
         from pips_tpu.inference.feed import as_feed
 
-        S, ck = self.S, self.encode_chunk
+        S = self.S
         N = xys.shape[0]
-        it = iter(as_feed(frames, ck))
+        feed = as_feed(frames, self.encode_chunk)
+        ck = feed.chunk  # a caller-built FrameFeed's own chunk size wins
+        it = iter(feed)
+        self.stream_peak_chunks = 0
 
         store: dict[int, jnp.ndarray] = {}  # chunk idx -> (ck, H8, W8, C)
         state = {"T": 0, "eof": False}
@@ -200,7 +209,9 @@ class ChainTracker:
             except StopIteration:
                 state["eof"] = True
                 return
-            assert state["T"] % ck == 0, "short chunk not last in stream"
+            if state["T"] % ck:
+                raise ValueError("feed yielded a short chunk before the end "
+                                 "of the stream")
             store[state["T"] // ck] = self.tracker.encode(c[None])[0]
             state["T"] += n
 

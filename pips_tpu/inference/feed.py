@@ -46,9 +46,22 @@ class FrameFeed:
         self.chunk = chunk
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._err: Optional[BaseException] = None
+        self._stop = threading.Event()
+        self._consumed = False
         self._thread = threading.Thread(
             target=self._work, args=(iter(frames), transform), daemon=True)
         self._thread.start()
+
+    def _put(self, item) -> bool:
+        """Bounded put that aborts if the consumer closed the feed (so an
+        abandoned iteration never leaves the producer blocked forever)."""
+        while not self._stop.is_set():
+            try:
+                self._q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def _work(self, it: Iterator, transform) -> None:
         try:
@@ -63,34 +76,58 @@ class FrameFeed:
                     raise ValueError(f"frame must be (H, W, C), got {f.shape}")
                 buf.append(f)
                 if len(buf) == self.chunk:
-                    self._q.put((np.stack(buf), self.chunk))
+                    if not self._put((np.stack(buf), self.chunk)):
+                        return
                     buf = []
             if buf:
                 n = len(buf)
                 buf.extend([buf[-1]] * (self.chunk - n))
-                self._q.put((np.stack(buf), n))
-            self._q.put(None)
+                if not self._put((np.stack(buf), n)):
+                    return
+            self._put(None)
         except BaseException as e:  # surfaced on the consumer side
             self._err = e
-            self._q.put(None)
+            self._put(None)
+
+    def close(self) -> None:
+        """Release the producer thread (idempotent; called automatically
+        when iteration finishes, errors, or is abandoned)."""
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
 
     def __iter__(self):
-        while True:
-            item = self._q.get()
-            if item is None:
-                if self._err is not None:
-                    raise self._err
-                return
-            yield item
+        if self._consumed:
+            raise RuntimeError(
+                "FrameFeed is single-use: its frames were already consumed "
+                "(build a new FrameFeed to iterate again)")
+        self._consumed = True
+        try:
+            while True:
+                item = self._q.get()
+                if item is None:
+                    if self._err is not None:
+                        raise self._err
+                    return
+                yield item
+        finally:
+            self.close()
 
 
 def as_feed(rgbs, chunk: int) -> "FrameFeed | _ArrayChunks":
     """Normalize engine input: a FrameFeed passes through (its chunk size
     wins — it was built before the engine saw it); a decoded (T, H, W, 3)
-    array gets a thread-free chunked view (no copy, no feed thread)."""
+    array gets a thread-free chunked view (no copy, no feed thread); any
+    other iterable of frames (generator, list, live source) is wrapped in
+    a FrameFeed."""
     if isinstance(rgbs, FrameFeed):
         return rgbs
-    return _ArrayChunks(np.asarray(rgbs), chunk)
+    if isinstance(rgbs, np.ndarray) or getattr(rgbs, "ndim", None) == 4:
+        return _ArrayChunks(np.asarray(rgbs), chunk)
+    return FrameFeed(rgbs, chunk=chunk)
 
 
 class _ArrayChunks:

@@ -148,3 +148,50 @@ def test_track_stream_evicts_on_long_video():
     # 25 frames = 7 chunks; a window spans ceil(S/ck)+1 = 2 chunks and the
     # encode lookahead adds ~1 — far below holding the whole video
     assert chain.stream_peak_chunks <= 3, chain.stream_peak_chunks
+
+
+def test_track_stream_with_mismatched_feed_chunk(tiny_setup):
+    """A caller-built FrameFeed's own chunk size must win over encode_chunk
+    (the store was previously keyed by the wrong chunk -> crash/corruption)."""
+    model, params, rgbs, xys = tiny_setup
+    chain = ChainTracker(model, params, iters=1, encode_chunk=4)
+    t_off, v_off = chain.track_video(rgbs, xys)
+    t_on, v_on = chain.track_stream(FrameFeed(list(rgbs), chunk=3), xys)
+    np.testing.assert_array_equal(t_off, t_on)
+    np.testing.assert_array_equal(v_off, v_on)
+
+
+def test_track_stream_accepts_generator(tiny_setup):
+    model, params, rgbs, xys = tiny_setup
+    chain = ChainTracker(model, params, iters=1, encode_chunk=4)
+    t_off, v_off = chain.track_video(rgbs, xys)
+    t_on, v_on = chain.track_stream((f for f in rgbs), xys)  # length-unknown
+    np.testing.assert_array_equal(t_off, t_on)
+    np.testing.assert_array_equal(v_off, v_on)
+
+
+def test_feed_is_single_use():
+    rgbs = _video(4)
+    feed = FrameFeed(list(rgbs), chunk=4)
+    list(feed)
+    with pytest.raises(RuntimeError, match="single-use"):
+        list(feed)
+
+
+def test_feed_close_releases_blocked_producer():
+    import time
+    rgbs = _video(40)
+    feed = FrameFeed(list(rgbs), chunk=4, depth=1)  # producer blocks on put
+    it = iter(feed)
+    next(it)           # consume one chunk, then abandon
+    it.close()         # generator finally -> feed.close()
+    feed._thread.join(timeout=5.0)
+    assert not feed._thread.is_alive()
+
+
+def test_select_fn_contract_violation_raises(tiny_setup):
+    model, params, rgbs, xys = tiny_setup
+    bad = lambda vis, S: np.full(vis.shape[:-1], S, np.int64)  # skip == S
+    chain = ChainTracker(model, params, iters=1, encode_chunk=4, select_fn=bad)
+    with pytest.raises(ValueError, match="select_fn"):
+        chain.track_video(rgbs, xys)
