@@ -218,17 +218,24 @@ class FlyingThingsDataset:
         H, W = rgbs[0].shape[:2]
         rgbs = [np.array(r, np.uint8) for r in rgbs]  # owned, mutated in place
         occs = [np.zeros((H, W), np.float32) for _ in rgbs]
+        n_cur = trajs.shape[1]
 
         if self.occluders:
-            # rounded/clipped/in-bounds views of trajs, grown incrementally
-            # as occluder trajectories append (each occluder clip carries
-            # thousands of its own points — recomputing these per paste was
-            # the pasting hot spot, not the pixels)
+            # rounded/clipped/in-bounds views of trajs, maintained
+            # incrementally in capacity-doubling buffers as occluder
+            # trajectories append (each occluder clip carries ~8k points of
+            # its own: recomputing these per paste — or re-concatenating per
+            # occluder — was the pasting hot spot, not the pixels)
             xy = trajs.round().astype(np.int32)
             xcl = xy[..., 0].clip(0, W - 1)
             ycl = xy[..., 1].clip(0, H - 1)
             inb = ((xy[..., 0] >= 0) & (xy[..., 0] <= W - 1)
                    & (xy[..., 1] >= 0) & (xy[..., 1] <= H - 1))
+
+            def _grow(a, cap):
+                out = np.zeros((S, cap) + a.shape[2:], a.dtype)
+                out[:, :a.shape[1]] = a
+                return out
 
             n_occ = min(self.max_occluders, len(self.occluders))
             alt_inds = rng.choice(len(self.occluders), n_occ, replace=False)
@@ -290,27 +297,34 @@ class FlyingThingsDataset:
                     # covered => inside this frame's support bbox: cheap
                     # vector compares prune the per-point mask gather to the
                     # few percent of points near the occluder
-                    cand = np.nonzero((xcl[s] >= x0) & (xcl[s] < x1)
-                                      & (ycl[s] >= y0) & (ycl[s] < y1)
-                                      & inb[s])[0]
+                    cand = np.nonzero((xcl[s, :n_cur] >= x0)
+                                      & (xcl[s, :n_cur] < x1)
+                                      & (ycl[s, :n_cur] >= y0)
+                                      & (ycl[s, :n_cur] < y1)
+                                      & inb[s, :n_cur])[0]
                     if cand.size:
-                        hit = masks_boxes[s][0][ycl[s][cand], xcl[s][cand]]
+                        hit = masks_boxes[s][0][ycl[s, cand], xcl[s, cand]]
                         visibles[s, cand[hit]] = 0
 
-                alt_vis = np.ones((self.S, alt_trajs.shape[1]), np.float32)
-                alt_val = np.ones((self.S, alt_trajs.shape[1]), np.float32)
-                trajs = np.concatenate([trajs, alt_trajs], axis=1)
-                valids = np.concatenate([valids, alt_val], axis=1)
-                visibles = np.concatenate([visibles, alt_vis], axis=1)
-
+                n_new = alt_trajs.shape[1]
+                if n_cur + n_new > trajs.shape[1]:
+                    cap = max(2 * trajs.shape[1], n_cur + n_new)
+                    trajs, visibles, valids, xcl, ycl, inb = (
+                        _grow(a, cap)
+                        for a in (trajs, visibles, valids, xcl, ycl, inb))
+                sl = slice(n_cur, n_cur + n_new)
+                trajs[:, sl] = alt_trajs
+                visibles[:, sl] = 1.0
+                valids[:, sl] = 1.0
                 axy = alt_trajs.round().astype(np.int32)
-                xcl = np.concatenate([xcl, axy[..., 0].clip(0, W - 1)], axis=1)
-                ycl = np.concatenate([ycl, axy[..., 1].clip(0, H - 1)], axis=1)
-                inb = np.concatenate(
-                    [inb, (axy[..., 0] >= 0) & (axy[..., 0] <= W - 1)
-                     & (axy[..., 1] >= 0) & (axy[..., 1] <= H - 1)], axis=1)
+                xcl[:, sl] = axy[..., 0].clip(0, W - 1)
+                ycl[:, sl] = axy[..., 1].clip(0, H - 1)
+                inb[:, sl] = ((axy[..., 0] >= 0) & (axy[..., 0] <= W - 1)
+                              & (axy[..., 1] >= 0) & (axy[..., 1] <= H - 1))
+                n_cur += n_new
 
-        return rgbs, occs, masks, trajs, visibles, valids
+        return (rgbs, occs, masks, trajs[:, :n_cur], visibles[:, :n_cur],
+                valids[:, :n_cur])
 
     def getitem_helper(self, index: int):
         rgb_dir, traj_dir, mask_dir, start_ind = self.samples[index]
