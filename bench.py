@@ -45,7 +45,35 @@ def _min_of_3(fn, *args, _trial_eps=(1e-6, 2e-6, 3e-6)):
     return best
 
 
+def _require_backend(timeout_s: float) -> None:
+    """Fail fast with a diagnosable JSON line if the device backend never
+    initializes (the tunneled TPU plugin blocks forever when its relay is
+    down — a hang here would stall the whole bench harness)."""
+    import threading
+
+    done = threading.Event()
+    info = {}
+
+    def probe():
+        try:
+            info["device"] = str(jax.devices()[0])
+        except Exception as e:  # pragma: no cover - backend-specific
+            info["error"] = f"{type(e).__name__}: {e}"
+        done.set()
+
+    threading.Thread(target=probe, daemon=True).start()
+    if not done.wait(timeout_s) or "error" in info:
+        err = info.get("error", f"backend init exceeded {timeout_s:.0f}s "
+                                "(TPU tunnel down?)")
+        print(json.dumps({"metric": "train_points_frames_per_sec",
+                          "value": 0, "unit": "error", "vs_baseline": 0,
+                          "error": err}))
+        sys.exit(1)
+
+
 def main(quick: bool = False):
+    import os
+    _require_backend(float(os.environ.get("PIPS_BENCH_INIT_TIMEOUT", "900")))
     from pips_tpu.utils.compcache import maybe_enable_compilation_cache
     maybe_enable_compilation_cache()
     from pips_tpu.data import SyntheticPointDataset, batch_iterator
