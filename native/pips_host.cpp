@@ -164,6 +164,88 @@ void pips_chain_step(const float* flow, int32_t H, int32_t W,
   }
 }
 
-int pips_native_version() { return 1; }
+// ---------------------------------------------------------------------------
+// Deferred occluder coverage, one frame (pips_tpu/data/flyingthings.py
+// _mark_covered_by_later_layers): zero vis[n] where the topmost pasted
+// layer at the point's rounded in-bounds pixel is newer than the point's
+// own birth layer. nearbyintf under the default rounding mode matches
+// np.round (round-half-to-even).
+// painter: (H, W) uint8; trajs: (N, 2) float32; birth: (N) int32;
+// vis: (N) float32, zeroed in place.
+// ---------------------------------------------------------------------------
+void pips_mark_covered_frame(const uint8_t* painter, const float* trajs,
+                             const int32_t* birth, float* vis,
+                             int32_t H, int32_t W, int64_t N) {
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(static)
+#endif
+  for (int64_t n = 0; n < N; n++) {
+    int ix = static_cast<int>(nearbyintf(trajs[n * 2 + 0]));
+    int iy = static_cast<int>(nearbyintf(trajs[n * 2 + 1]));
+    if (ix < 0 || ix > W - 1 || iy < 0 || iy > H - 1) continue;
+    if (static_cast<int32_t>(painter[static_cast<int64_t>(iy) * W + ix])
+        > birth[n]) {
+      vis[n] = 0.0f;
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Post-aug visibility bookkeeping, one frame (pips_tpu/data/flyingthings.py
+// visibility_filter): a point on an occ==255 padding pixel (rounded coords,
+// in-bounds) or out of bounds (unrounded coords) becomes invisible; also
+// emits the float-coords in-bounds mask the trajectory filters consume.
+// occ: (H, W) float32; trajs: (N, 2) float32; vis: (N) float32 in/out;
+// inb_f: (N) uint8 out (0/1).
+// ---------------------------------------------------------------------------
+void pips_visibility_frame(const float* trajs, const float* occ,
+                           float* vis, uint8_t* inb_f,
+                           int32_t H, int32_t W, int64_t N) {
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(static)
+#endif
+  for (int64_t n = 0; n < N; n++) {
+    float x = trajs[n * 2 + 0];
+    float y = trajs[n * 2 + 1];
+    int rx = static_cast<int>(nearbyintf(x));
+    int ry = static_cast<int>(nearbyintf(y));
+    bool inb_r = rx >= 0 && rx <= W - 1 && ry >= 0 && ry <= H - 1;
+    int xcl = std::min(std::max(rx, 0), W - 1);
+    int ycl = std::min(std::max(ry, 0), H - 1);
+    bool on_pad = occ[static_cast<int64_t>(ycl) * W + xcl] == 255.0f;
+    bool inf = x >= 0.0f && x <= static_cast<float>(W - 1)
+            && y >= 0.0f && y <= static_cast<float>(H - 1);
+    if ((on_pad && inb_r) || !inf) vis[n] = 0.0f;
+    inb_f[n] = inf ? 1 : 0;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Eraser/replace-aug coverage (pips_tpu/data/augs.py _mark_in_rects):
+// zero vis[n] where the float point lies in any half-open integer rect.
+// rects: (R, 4) int32 rows (x0, x1, y0, y1). Definitional semantics —
+// (x >= x0) & (x < x1) & (y >= y0) & (y < y1) — with early exit; most
+// points fail the first compare, so this is ~2 compares/point.
+// ---------------------------------------------------------------------------
+void pips_mark_in_rects(const float* trajs, const int32_t* rects, int32_t R,
+                        float* vis, int64_t N) {
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(static)
+#endif
+  for (int64_t n = 0; n < N; n++) {
+    float x = trajs[n * 2 + 0];
+    float y = trajs[n * 2 + 1];
+    for (int32_t r = 0; r < R; r++) {
+      const int32_t* rc = rects + r * 4;
+      if (x >= static_cast<float>(rc[0]) && x < static_cast<float>(rc[1])
+          && y >= static_cast<float>(rc[2]) && y < static_cast<float>(rc[3])) {
+        vis[n] = 0.0f;
+        break;
+      }
+    }
+  }
+}
+
+int pips_native_version() { return 3; }
 
 }  // extern "C"

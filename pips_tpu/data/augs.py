@@ -66,22 +66,61 @@ def gaussian_blur(rgb: np.ndarray, rng: np.random.RandomState,
     return cv2.GaussianBlur(rgb, (ksize, ksize), sigma)
 
 
-def _mark_in_rects(xy: np.ndarray, rects, vis_row: np.ndarray) -> None:
+def _quantize_points(xy: np.ndarray, H: int, W: int):
+    """Floor-quantized in-frame point cells: (idx, ix, iy) where idx indexes
+    the points whose floor cell lies inside (H, W). For integer rect bounds,
+    x in [x0, x1) <=> floor(x) in [x0, x1) (and any point whose floor cell
+    is outside the frame cannot be inside a rect), so rect membership
+    reduces to one raster gather at these cells."""
+    ix = np.floor(xy[:, 0]).astype(np.int32)
+    iy = np.floor(xy[:, 1]).astype(np.int32)
+    idx = np.nonzero((ix >= 0) & (ix < W) & (iy >= 0) & (iy < H))[0]
+    return idx, ix[idx], iy[idx]
+
+
+def _frame_pts(cache, s: int, xy: np.ndarray, H: int, W: int):
+    """Per-frame quantized-point cache: trajs don't move during the
+    photometric stack, so eraser_aug and replace_aug share one
+    quantization per frame (``photometric_augs`` threads the dict)."""
+    if cache is None:
+        return _quantize_points(xy, H, W)
+    if s not in cache:
+        cache[s] = _quantize_points(xy, H, W)
+    return cache[s]
+
+
+def _mark_in_rects(xy: np.ndarray, rects, vis_row: np.ndarray,
+                   hw=None, pts_cache=None, frame=None) -> None:
     """Zero vis_row (N,) where xy (N, 2) falls inside any (x0, x1, y0, y1)
-    half-open rect — one broadcast pass instead of a full-N scan per rect
-    (N runs ~1e5 once occluder trajectories join the pool)."""
+    half-open integer rect: rasterize the rects into a bool mask and gather
+    it ONCE at the floor-quantized point cells. Exactly equivalent to
+    per-rect float compares (bounds are integers — see ``_quantize_points``)
+    but O(N + rect area) instead of O(R*N) (N runs ~1e5 once occluder
+    trajectories join the pool; R up to 20 rects/frame)."""
     if not rects:
         return
-    r = np.asarray(rects, np.float32)  # (R, 4)
-    x, y = xy[:, 0], xy[:, 1]
-    occ = ((x >= r[:, 0, None]) & (x < r[:, 1, None])
-           & (y >= r[:, 2, None]) & (y < r[:, 3, None])).any(axis=0)
-    vis_row[occ] = 0
+    if (xy.dtype == np.float32 and vis_row.dtype == np.float32
+            and xy.flags.c_contiguous and vis_row.flags.c_contiguous):
+        from pips_tpu.native import lib as native
+        if native.mark_in_rects(xy, np.asarray(rects, np.int32), vis_row):
+            return
+    if hw is None:
+        r = np.asarray(rects, np.int32)
+        hw = (int(r[:, 3].max()), int(r[:, 1].max()))
+    H, W = hw
+    idx, ix, iy = _frame_pts(pts_cache, frame, xy, H, W)
+    if idx.size == 0:
+        return
+    mask = np.zeros((H, W), np.bool_)
+    for x0, x1, y0, y1 in rects:
+        mask[y0:y1, x0:x1] = True
+    hit = mask[iy, ix]
+    vis_row[idx[hit]] = 0
 
 
 def eraser_aug(rgbs: list[np.ndarray], trajs: np.ndarray, visibles: np.ndarray,
                rng: np.random.RandomState, prob: float = 0.9,
-               bounds=(2, 100), max_count: int = 10):
+               bounds=(2, 100), max_count: int = 10, pts_cache=None):
     """Fill random rects (frames s>=1) with their mean color; points inside
     become invisible (reference ``flyingthingsdataset.py:607-630``).
 
@@ -107,13 +146,14 @@ def eraser_aug(rgbs: list[np.ndarray], trajs: np.ndarray, visibles: np.ndarray,
                 mean_color = rgbs[i][y0:y1, x0:x1].reshape(-1, 3).mean(axis=0)
                 rgbs[i][y0:y1, x0:x1] = (mean_color + 0.5).astype(np.uint8)
                 rects.append((x0, x1, y0, y1))
-            _mark_in_rects(trajs[i], rects, visibles[i])
+            _mark_in_rects(trajs[i], rects, visibles[i], (H, W),
+                           pts_cache=pts_cache, frame=i)
     return rgbs, trajs, visibles
 
 
 def replace_aug(rgbs: list[np.ndarray], trajs: np.ndarray, visibles: np.ndarray,
                 rng: np.random.RandomState, prob: float = 0.9,
-                bounds=(2, 100), max_count: int = 20):
+                bounds=(2, 100), max_count: int = 20, pts_cache=None):
     """Paste random jittered patches from other frames over frames s>=1;
     points inside become invisible (``flyingthingsdataset.py:632-670``)."""
     S = len(rgbs)
@@ -146,7 +186,8 @@ def replace_aug(rgbs: list[np.ndarray], trajs: np.ndarray, visibles: np.ndarray,
                 fr = rng.randint(0, S)
                 rgbs[i][y0:y1, x0:x1] = alt_frame(fr)[y00:y00 + hei, x00:x00 + wid]
                 rects.append((x0, x1, y0, y1))
-            _mark_in_rects(trajs[i], rects, visibles[i])
+            _mark_in_rects(trajs[i], rects, visibles[i], (H, W),
+                           pts_cache=pts_cache, frame=i)
     return rgbs, trajs, visibles
 
 
@@ -154,10 +195,13 @@ def photometric_augs(rgbs, trajs, visibles, rng, eraser=True, replace=True,
                      color_prob=0.5, blur_prob=0.5):
     """Full photometric stack (``flyingthingsdataset.py:595-682``)."""
     rgbs = [np.asarray(r, np.uint8) for r in rgbs]
+    pts_cache = {}  # trajs are not moved by eraser/replace: quantize once
     if eraser:
-        rgbs, trajs, visibles = eraser_aug(rgbs, trajs, visibles, rng)
+        rgbs, trajs, visibles = eraser_aug(rgbs, trajs, visibles, rng,
+                                           pts_cache=pts_cache)
     if replace:
-        rgbs, trajs, visibles = replace_aug(rgbs, trajs, visibles, rng)
+        rgbs, trajs, visibles = replace_aug(rgbs, trajs, visibles, rng,
+                                            pts_cache=pts_cache)
     if rng.rand() < color_prob:
         rgbs = [color_jitter(r, rng) for r in rgbs]
     if rng.rand() < blur_prob:

@@ -92,6 +92,25 @@ def _load_id_mask_cached(path: str, occ_id: int):
     return _read_only(m), (y0, y1, x0, x1)
 
 
+def _mark_covered_by_later_layers(painter, trajs, birth, visibles):
+    """Deferred occluder visibility marking, one vectorized pass.
+
+    ``painter[s]`` is a uint8 raster holding, per pixel, the index (1-based
+    paste order) of the LAST occluder whose support mask covered it in frame
+    ``s``; ``birth[n]`` is the layer point ``n`` arrived with (0 = base
+    points). A point is covered exactly by the occluders pasted AFTER its
+    own layer whose support contains its (rounded, in-bounds) pixel — and
+    since later pastes overwrite earlier ones, the raster holds the max
+    layer, so ``painter > birth`` decides. Replays the reference's
+    per-occluder marking (``flyingthingsdataset.py:568-579``) without the
+    O(occluders * S * N) rescans of the growing point pool.
+    """
+    from pips_tpu.native import lib as native
+    for s in range(len(painter)):
+        native.mark_covered_frame(painter[s], trajs[s], birth, visibles[s])
+    return visibles
+
+
 def visibility_filter(trajs, visibles, valids, occs, crop_size, *,
                       force_twice_vis=True, force_last_vis=False,
                       force_all_inb=False):
@@ -108,19 +127,21 @@ def visibility_filter(trajs, visibles, valids, occs, crop_size, *,
     points plus every pasted occluder's own trajectories), so per-frame
     python loops dominate a sample's load time here.
     """
+    from pips_tpu.native import lib as native
     S = len(occs)
     H, W = crop_size
-    xy = trajs.round().astype(np.int32)                       # (S, N, 2)
-    xcl = xy[..., 0].clip(0, W - 1)
-    ycl = xy[..., 1].clip(0, H - 1)
-    inb_r = ((xy[..., 0] >= 0) & (xy[..., 0] <= W - 1)
-             & (xy[..., 1] >= 0) & (xy[..., 1] <= H - 1))
-    on_pad = np.stack([occs[s][ycl[s], xcl[s]] == 255 for s in range(S)])
-    # in-bounds in float coords (the reference's oob test is unrounded)
-    inb_f = ((trajs[..., 0] >= 0) & (trajs[..., 0] <= W - 1)
-             & (trajs[..., 1] >= 0) & (trajs[..., 1] <= H - 1))
-    visibles = np.array(visibles)
-    visibles[(on_pad & inb_r) | ~inb_f] = 0
+    # per-frame fused pass (native C when built): a point on an occ==255
+    # padding pixel (rounded coords, in-bounds) or out of bounds in float
+    # coords (the reference's oob test is unrounded) becomes invisible;
+    # also yields the float in-bounds mask the filters below consume
+    trajs = np.ascontiguousarray(trajs, np.float32)
+    visibles = np.array(visibles, np.float32)  # owned copy, mutated below
+    inb_u8 = np.empty((S, trajs.shape[1]), np.uint8)
+    for s in range(S):
+        native.visibility_frame(trajs[s],
+                                np.ascontiguousarray(occs[s], np.float32),
+                                visibles[s], inb_u8[s])
+    inb_f = inb_u8.view(np.bool_)
 
     if force_twice_vis:
         vis = visibles > 0
@@ -218,24 +239,19 @@ class FlyingThingsDataset:
         H, W = rgbs[0].shape[:2]
         rgbs = [np.array(r, np.uint8) for r in rgbs]  # owned, mutated in place
         occs = [np.zeros((H, W), np.float32) for _ in rgbs]
-        n_cur = trajs.shape[1]
 
         if self.occluders:
-            # rounded/clipped/in-bounds views of trajs, maintained
-            # incrementally in capacity-doubling buffers as occluder
-            # trajectories append (each occluder clip carries ~8k points of
-            # its own: recomputing these per paste — or re-concatenating per
-            # occluder — was the pasting hot spot, not the pixels)
-            xy = trajs.round().astype(np.int32)
-            xcl = xy[..., 0].clip(0, W - 1)
-            ycl = xy[..., 1].clip(0, H - 1)
-            inb = ((xy[..., 0] >= 0) & (xy[..., 0] <= W - 1)
-                   & (xy[..., 1] >= 0) & (xy[..., 1] <= H - 1))
-
-            def _grow(a, cap):
-                out = np.zeros((S, cap) + a.shape[2:], a.dtype)
-                out[:, :a.shape[1]] = a
-                return out
+            # Visibility marking is DEFERRED: each paste paints its 1-based
+            # layer index into a per-frame raster, and covered points are
+            # resolved in one vectorized pass at the end
+            # (_mark_covered_by_later_layers). Rescanning the growing point
+            # pool per paste — each occluder clip carries ~8k points of its
+            # own — was the pasting hot spot, not the pixels.
+            pdt = np.uint8 if self.max_occluders < 256 else np.uint16
+            painter = [np.zeros((H, W), pdt) for _ in range(S)]
+            traj_parts = [trajs]
+            birth_parts = [np.zeros(trajs.shape[1], np.int32)]
+            layer = 0
 
             n_occ = min(self.max_occluders, len(self.occluders))
             alt_inds = rng.choice(len(self.occluders), n_occ, replace=False)
@@ -282,49 +298,39 @@ class FlyingThingsDataset:
                     sub_rgbs = [None if r is None else gaussian_blur(r, rng)
                                 for r in sub_rgbs]
 
+                layer += 1
                 for s in range(S):
                     if boxes[s] is None:
                         continue
                     y0, y1, x0, x1 = boxes[s]
-                    m = masks_boxes[s][0][y0:y1, x0:x1].astype(np.float32)
-                    mb = (np.clip(cv2.GaussianBlur(m, (3, 3), 0), 0, 1)
-                          if cv2 is not None else m)[..., None]
+                    m = masks_boxes[s][0][y0:y1, x0:x1]
+                    mf = m.astype(np.float32)
+                    mb = (np.clip(cv2.GaussianBlur(mf, (3, 3), 0), 0, 1)
+                          if cv2 is not None else mf)[..., None]
                     reg = rgbs[s][y0:y1, x0:x1].astype(np.float32)
                     blend = reg * (1.0 - mb) + sub_rgbs[s] * mb
                     rgbs[s][y0:y1, x0:x1] = (blend + 0.5).astype(np.uint8)
-                    occs[s][y0:y1, x0:x1] += m
+                    occs[s][y0:y1, x0:x1] += mf
+                    painter[s][y0:y1, x0:x1][m] = layer
 
-                    # covered => inside this frame's support bbox: cheap
-                    # vector compares prune the per-point mask gather to the
-                    # few percent of points near the occluder
-                    cand = np.nonzero((xcl[s, :n_cur] >= x0)
-                                      & (xcl[s, :n_cur] < x1)
-                                      & (ycl[s, :n_cur] >= y0)
-                                      & (ycl[s, :n_cur] < y1)
-                                      & inb[s, :n_cur])[0]
-                    if cand.size:
-                        hit = masks_boxes[s][0][ycl[s, cand], xcl[s, cand]]
-                        visibles[s, cand[hit]] = 0
+                traj_parts.append(alt_trajs)
+                birth_parts.append(
+                    np.full(alt_trajs.shape[1], layer, np.int32))
 
-                n_new = alt_trajs.shape[1]
-                if n_cur + n_new > trajs.shape[1]:
-                    cap = max(2 * trajs.shape[1], n_cur + n_new)
-                    trajs, visibles, valids, xcl, ycl, inb = (
-                        _grow(a, cap)
-                        for a in (trajs, visibles, valids, xcl, ycl, inb))
-                sl = slice(n_cur, n_cur + n_new)
-                trajs[:, sl] = alt_trajs
-                visibles[:, sl] = 1.0
-                valids[:, sl] = 1.0
-                axy = alt_trajs.round().astype(np.int32)
-                xcl[:, sl] = axy[..., 0].clip(0, W - 1)
-                ycl[:, sl] = axy[..., 1].clip(0, H - 1)
-                inb[:, sl] = ((axy[..., 0] >= 0) & (axy[..., 0] <= W - 1)
-                              & (axy[..., 1] >= 0) & (axy[..., 1] <= H - 1))
-                n_cur += n_new
+            if layer > 0:
+                n0 = trajs.shape[1]
+                trajs = np.concatenate(traj_parts, axis=1)
+                n_tot = trajs.shape[1]
+                vis_full = np.ones((S, n_tot), np.float32)
+                vis_full[:, :n0] = visibles
+                val_full = np.ones((S, n_tot), np.float32)
+                val_full[:, :n0] = valids
+                birth = np.concatenate(birth_parts)
+                visibles = _mark_covered_by_later_layers(
+                    painter, trajs, birth, vis_full)
+                valids = val_full
 
-        return (rgbs, occs, masks, trajs[:, :n_cur], visibles[:, :n_cur],
-                valids[:, :n_cur])
+        return rgbs, occs, masks, trajs, visibles, valids
 
     def getitem_helper(self, index: int):
         rgb_dir, traj_dir, mask_dir, start_ind = self.samples[index]
@@ -385,9 +391,10 @@ class FlyingThingsDataset:
         valids_full[:] = valids[:, inds]
 
         sample = {
-            "rgbs": np.stack(rgbs).astype(np.float32),
-            "occs": np.stack(occs).astype(np.float32),
-            "masks": np.stack(masks).astype(np.float32),
+            # stack with a target dtype: one copy, not stack-then-astype
+            "rgbs": np.stack(rgbs).astype(np.float32, copy=False),
+            "occs": np.stack(occs).astype(np.float32, copy=False),
+            "masks": np.stack(masks).astype(np.float32, copy=False),
             "trajs": trajs_full,
             "visibles": visibles_full,
             "valids": valids_full,

@@ -6,7 +6,8 @@ is present.
 """
 
 from pips_tpu.native.lib import (available, chain_step, composite, decode_pfm,
-                                 ensure_built, resize_bilinear)
+                                 ensure_built, mark_covered_frame,
+                                 resize_bilinear, visibility_frame)
 
 __all__ = ["available", "chain_step", "composite", "decode_pfm", "ensure_built",
-           "resize_bilinear"]
+           "mark_covered_frame", "resize_bilinear", "visibility_frame"]

@@ -37,6 +37,16 @@ def _try_load() -> Optional[ctypes.CDLL]:
                                              ctypes.c_int32, ctypes.c_int32]
         lib.pips_chain_step.argtypes = [f32p, ctypes.c_int32, ctypes.c_int32,
                                         f32p, ctypes.c_int64]
+        if hasattr(lib, "pips_mark_covered_frame"):  # native version >= 2
+            lib.pips_mark_covered_frame.argtypes = [
+                u8p, f32p, i32p, f32p,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int64]
+            lib.pips_visibility_frame.argtypes = [
+                f32p, f32p, f32p, u8p,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int64]
+        if hasattr(lib, "pips_mark_in_rects"):  # native version >= 3
+            lib.pips_mark_in_rects.argtypes = [
+                f32p, i32p, ctypes.c_int32, f32p, ctypes.c_int64]
         _lib = lib
     except OSError:
         _lib = None
@@ -133,6 +143,81 @@ def resize_bilinear(src: np.ndarray, out_hw: tuple[int, int]) -> np.ndarray:
     dst = np.empty((H2, W2, C), np.float32)
     lib.pips_resize_bilinear(_f32p(src), H, W, C, _f32p(dst), H2, W2)
     return dst
+
+
+def _u8p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _point_passes_lib():
+    lib = _try_load()
+    return lib if lib is not None and hasattr(lib, "pips_mark_covered_frame") \
+        else None
+
+
+def mark_in_rects(trajs_s: np.ndarray, rects: np.ndarray,
+                  vis_s: np.ndarray) -> bool:
+    """Zero vis_s (N,) where the float point trajs_s (N, 2) lies in any
+    half-open integer rect (x0, x1, y0, y1) of rects (R, 4) int32.
+    Returns False when the native library lacks the entry point (caller
+    falls back); arrays C-contiguous."""
+    lib = _try_load()
+    if lib is None or not hasattr(lib, "pips_mark_in_rects"):
+        return False
+    assert trajs_s.flags.c_contiguous and vis_s.flags.c_contiguous
+    rects = np.ascontiguousarray(rects, np.int32)
+    lib.pips_mark_in_rects(_f32p(trajs_s),
+                           rects.ctypes.data_as(
+                               ctypes.POINTER(ctypes.c_int32)),
+                           rects.shape[0], _f32p(vis_s), trajs_s.shape[0])
+    return True
+
+
+def mark_covered_frame(painter: np.ndarray, trajs_s: np.ndarray,
+                       birth: np.ndarray, vis_s: np.ndarray) -> None:
+    """Zero vis_s (N,) where painter (H, W) uint8 at the point's rounded,
+    in-bounds pixel holds a layer newer than birth (N,) int32. In place;
+    all arrays C-contiguous."""
+    lib = _point_passes_lib()
+    H, W = painter.shape
+    if lib is None or painter.dtype != np.uint8:
+        xy = trajs_s.round().astype(np.int32)
+        xcl = xy[:, 0].clip(0, W - 1)
+        ycl = xy[:, 1].clip(0, H - 1)
+        inb = ((xy[:, 0] >= 0) & (xy[:, 0] <= W - 1)
+               & (xy[:, 1] >= 0) & (xy[:, 1] <= H - 1))
+        vis_s[(painter[ycl, xcl] > birth) & inb] = 0
+        return
+    assert painter.flags.c_contiguous and trajs_s.flags.c_contiguous
+    lib.pips_mark_covered_frame(_u8p(painter), _f32p(trajs_s),
+                                birth.ctypes.data_as(
+                                    ctypes.POINTER(ctypes.c_int32)),
+                                _f32p(vis_s), H, W, trajs_s.shape[0])
+
+
+def visibility_frame(trajs_s: np.ndarray, occ: np.ndarray, vis_s: np.ndarray,
+                     inb_f_s: np.ndarray) -> None:
+    """One frame of post-aug visibility bookkeeping: zero vis_s where the
+    point sits on an occ==255 padding pixel (rounded, in-bounds) or is out
+    of bounds in float coords; write the float in-bounds mask to inb_f_s
+    (N,) uint8. In place; all arrays C-contiguous float32/uint8."""
+    lib = _point_passes_lib()
+    H, W = occ.shape
+    if lib is None:
+        x, y = trajs_s[:, 0], trajs_s[:, 1]
+        xy = trajs_s.round().astype(np.int32)
+        xcl = xy[:, 0].clip(0, W - 1)
+        ycl = xy[:, 1].clip(0, H - 1)
+        inb_r = ((xy[:, 0] >= 0) & (xy[:, 0] <= W - 1)
+                 & (xy[:, 1] >= 0) & (xy[:, 1] <= H - 1))
+        inf = (x >= 0) & (x <= W - 1) & (y >= 0) & (y <= H - 1)
+        vis_s[((occ[ycl, xcl] == 255) & inb_r) | ~inf] = 0
+        inb_f_s[:] = inf
+        return
+    assert (trajs_s.flags.c_contiguous and occ.flags.c_contiguous
+            and vis_s.flags.c_contiguous)
+    lib.pips_visibility_frame(_f32p(trajs_s), _f32p(occ), _f32p(vis_s),
+                              _u8p(inb_f_s), H, W, trajs_s.shape[0])
 
 
 def chain_step(flow: np.ndarray, coords: np.ndarray) -> np.ndarray:

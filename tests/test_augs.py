@@ -71,3 +71,40 @@ def test_eraser_aug_marks_covered_points_invisible():
     assert (vis_o <= vis).all()
     changed = [not np.array_equal(o, r) for o, r in zip(out, rgbs)]
     assert not changed[0] and any(changed[1:])
+
+
+def test_mark_in_rects_matches_float_compares():
+    """Raster+floor-gather == the definitional per-rect float compares
+    (x >= x0) & (x < x1) & (y >= y0) & (y < y1), incl. fractional points
+    just inside/outside integer rect edges and negative coords."""
+    rng = np.random.RandomState(9)
+    H, W, N = 30, 40, 500
+    xy = (rng.rand(N, 2) * [W + 10, H + 10] - 5).astype(np.float32)
+    rects = []
+    for _ in range(8):
+        x0, y0 = rng.randint(0, W - 2), rng.randint(0, H - 2)
+        rects.append((x0, x0 + rng.randint(1, W - x0),
+                      y0, y0 + rng.randint(1, H - y0)))
+    # edge probes around the first rect's bounds
+    x0, x1, y0, y1 = rects[0]
+    xy[:8] = [(x0 - 1e-3, y0 + 0.5), (x0, y0), (x1 - 1e-3, y1 - 1e-3),
+              (x1, y0), (x0 + 0.5, y1), (-0.5, y0), (x0 + 0.1, y1 - 0.1),
+              (x1 - 0.5, y0 + 0.5)]
+
+    got = np.ones(N, np.float32)
+    augs._mark_in_rects(xy, rects, got, (H, W))
+    want = np.ones(N, np.float32)
+    r = np.asarray(rects, np.float32)
+    x, y = xy[:, 0], xy[:, 1]
+    inside = ((x >= r[:, 0, None]) & (x < r[:, 1, None])
+              & (y >= r[:, 2, None]) & (y < r[:, 3, None])).any(axis=0)
+    want[inside] = 0
+    np.testing.assert_array_equal(got, want)
+    # hw=None derives the raster extent from the rects
+    got2 = np.ones(N, np.float32)
+    augs._mark_in_rects(xy, rects, got2)
+    np.testing.assert_array_equal(got2, want)
+    # float64 input forces the numpy raster fallback (native path is f32)
+    got3 = np.ones(N, np.float64)
+    augs._mark_in_rects(xy.astype(np.float64), rects, got3, (H, W))
+    np.testing.assert_array_equal(got3.astype(np.float32), want)
