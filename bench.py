@@ -74,6 +74,11 @@ def _require_backend(timeout_s: float) -> None:
 def main(quick: bool = False):
     import os
     _require_backend(float(os.environ.get("PIPS_BENCH_INIT_TIMEOUT", "900")))
+    # Persistent compile cache ON by default for the bench (validated against
+    # the tunneled TPU plugin, docs/SERVING.md): the 4 model-variant compiles
+    # dominate bench wall time (~8 min cold) and are identical across runs.
+    # Opt out by exporting PIPS_JAX_CACHE= (empty).
+    os.environ.setdefault("PIPS_JAX_CACHE", "1")
     from pips_tpu.utils.compcache import maybe_enable_compilation_cache
     maybe_enable_compilation_cache()
     from pips_tpu.data import SyntheticPointDataset, batch_iterator
