@@ -54,14 +54,16 @@ def resolve_dtype(name: str):
     return table[name]
 
 
-def resolve_fuse_chanff(flag: int, dtype) -> bool:
+def resolve_fuse_chanff(flag: int, dtype, devices=None) -> bool:
     """-1 auto: fused mixer kernel iff running on TPU with bf16 compute
-    (pallas compiles there and the bf16 tolerance applies); 0/1 force."""
+    (pallas compiles there and the bf16 tolerance applies); 0/1 force.
+    Pass the mesh's devices so the gate reflects where the step actually
+    runs (the default backend can differ from the mesh placement)."""
     from pips_tpu.kernels import fused_kernels_supported
 
     if flag >= 0:
         return bool(flag)
-    return dtype == jnp.bfloat16 and fused_kernels_supported()
+    return dtype == jnp.bfloat16 and fused_kernels_supported(devices)
 
 
 def init_state(cfg: TrainConfig, model: Pips, rng_seed: int = 0) -> TrainState:
@@ -112,7 +114,8 @@ def train(cfg: Optional[TrainConfig] = None) -> dict:
                       refiner_dim=cfg.mixer_dim, refiner_depth=cfg.mixer_depth,
                       dtype=resolve_dtype(cfg.dtype),
                       fuse_chanff=resolve_fuse_chanff(
-                          cfg.fuse_chanff, resolve_dtype(cfg.dtype)))
+                          cfg.fuse_chanff, resolve_dtype(cfg.dtype),
+                          devices=mesh.devices.flat))
     else:
         model = Pips(S=cfg.S, stride=cfg.stride, latent_dim=cfg.latent_dim,
                      corr_levels=cfg.corr_levels, corr_radius=cfg.corr_radius,
@@ -121,9 +124,11 @@ def train(cfg: Optional[TrainConfig] = None) -> dict:
                      remat_mixer=cfg.remat_mixer, remat_corr=cfg.remat_corr,
                      remat_encoder=cfg.remat_encoder,
                      fuse_chanff=resolve_fuse_chanff(cfg.fuse_chanff,
-                                                     resolve_dtype(cfg.dtype)),
+                                                     resolve_dtype(cfg.dtype),
+                                                     devices=mesh.devices.flat),
                      fuse_conv3=resolve_fuse_chanff(cfg.fuse_conv3,
-                                                    resolve_dtype(cfg.dtype)))
+                                                    resolve_dtype(cfg.dtype),
+                                                    devices=mesh.devices.flat))
     state = init_state(cfg, model)
 
     ckpt_dir = f"{cfg.ckpt_dir}/{name}"

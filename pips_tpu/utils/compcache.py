@@ -7,17 +7,26 @@ serializes compiled executables to disk keyed by (HLO, compile options,
 backend version), so a second process skips straight to execution.
 
 Enabled by setting ``PIPS_JAX_CACHE`` to a directory (or ``1`` for the
-default ``/tmp/pips_jax_cache``). Off by default: the cache trades disk for
-compile time and is a per-machine workflow optimization, not a correctness
-feature. Entry points (train loop, eval runners, bench) call
-``maybe_enable_compilation_cache()`` once, before the first jit.
+default ``<repo>/.jax_cache``). ``bench.py`` defaults it ON (via
+``os.environ.setdefault``) because the driver re-runs it in a fresh process
+every round; the train loop and eval runners remain opt-in — the cache
+trades disk for compile time and is a workflow optimization, not a
+correctness feature. Entry points call ``maybe_enable_compilation_cache()``
+once, before the first jit.
+
+The default dir lives INSIDE the repo (and its blobs are committed) because
+the driver environment is a fresh filesystem every round — only git content
+survives — so a /tmp cache can never amortize the ~5 min bench compile
+across rounds (r3 lesson: cache was enabled yet BENCH_r03 still paid full
+compile).
 """
 
 from __future__ import annotations
 
 import os
 
-_DEFAULT_DIR = "/tmp/pips_jax_cache"
+_DEFAULT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), ".jax_cache")
 _enabled = False
 
 

@@ -53,7 +53,7 @@ def stem_im2col_parity(x, k):
     parts = []
     for ky in range(7):
         src = (xe, xo)[ky % 2]
-        r0 = ky // 2 + (0 if ky % 2 == 0 else 0)
+        r0 = ky // 2
         parts += [src[:, r0:r0 + Ho, kx:kx + Wo, :] for kx in range(4)]
     p = jnp.concatenate(parts, axis=-1)
     kmat = k2.reshape(28 * 2 * C, O)
