@@ -288,8 +288,25 @@ class _StemInner(nn.Module):
             k2 = kpad.reshape(7, 4, 2 * C, self.features)
             xp = jnp.pad(x, ((0, 0), (3, 3), (4, 2), (0, 0)))
             x2 = xp.reshape(B, H + 6, (W + 6) // 2, 2 * C)
+            # Row-tap unfold (r4): fold the 7 ky taps into channels,
+            #   x7[b, h, w', ky*2C + c] = x2[b, 2h+ky, w', c],
+            # turning the stride-(2,1) 7x4 conv into a stride-1 (1,4) conv
+            # with C_in = 14C = 42. Two wins (tools/profile_stem_wgrad.py,
+            # B=1 384x512 bf16): (a) forward 211 -> 115 us — XLA's per-tap
+            # pass count scales with tap count (28 -> 4) and in padded-lane
+            # HBM bytes x7 (42->128 lanes) is HALF of x2 (6->128); (b) the
+            # autodiff WEIGHT-grad — the last pathological conv, M = C_in
+            # on the MXU sublanes — goes 6 -> 42 rows: fwd+wgrad 857 ->
+            # ~250 us. Beats the in-VMEM-im2col Pallas wgrad kernel too
+            # (kernels/stem_wgrad_pallas.py, 967 us: collapse relayouts
+            # dominate). Exactly the same math (max|diff| = bf16 rounding).
+            Ho = H // 2
+            x7 = jnp.concatenate(
+                [x2[:, ky:ky + 2 * Ho:2] for ky in range(7)], axis=-1)
+            # k7[0, kx, ky*2C+c, o] = k2[ky, kx, c, o]
+            k7 = k2.transpose(1, 0, 2, 3).reshape(4, 14 * C, self.features)[None]
             y = jax.lax.conv_general_dilated(
-                x2, k2, (2, 1), "VALID",
+                x7, k7, (1, 1), "VALID",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
             return y + bias.astype(dt)
 
