@@ -81,6 +81,93 @@ def load_params(model: Pips, init_dir: str, example_hw=(64, 96)):
         f"no checkpoint found at {init_dir} (expected model-*.msgpack or model-*.pth)")
 
 
+def load_dino_state_dict(init_dir: str) -> dict:
+    """DINO ViT torch state_dict as numpy arrays, from a local ``.pth`` (or
+    torch.hub when ``init_dir`` is missing — the reference's path,
+    ``test_on_flt.py:245-248``; needs network access)."""
+    import torch
+
+    if init_dir and os.path.exists(init_dir):
+        sd = torch.load(init_dir, map_location="cpu", weights_only=False)
+        if isinstance(sd, dict) and "state_dict" in sd:
+            sd = sd["state_dict"]
+    else:
+        try:
+            sd = torch.hub.load("facebookresearch/dino:main",
+                                "dino_vits8").state_dict()
+        except Exception as e:
+            raise FileNotFoundError(
+                f"dino checkpoint {init_dir!r} not found and torch.hub fetch "
+                f"failed ({e}); download dino_deitsmall8_pretrain.pth from "
+                "the DINO release and pass --init_dir <path>") from e
+    return {k: np.asarray(v.numpy() if hasattr(v, "numpy") else v)
+            for k, v in sd.items()}
+
+
+def infer_dino_arch(sd: dict) -> tuple[int, int, int, int]:
+    """(dim, depth, heads, patch) from a DINO ViT state dict (heads via the
+    64-dim-per-head ViT convention: S/8 -> 6, B/8 -> 12)."""
+    dim = int(sd["cls_token"].shape[-1])
+    depth = 1 + max(int(k.split(".")[1]) for k in sd if k.startswith("blocks."))
+    patch = int(sd["patch_embed.proj.weight"].shape[-1])
+    return dim, depth, max(dim // 64, 1), patch
+
+
+def build_baseline_tracker(modeltype: str, init_dir: str, raft_iters: int = 32):
+    """Baseline tracker shared by the FLT/BADJA/CroHD eval runners
+    (reference runs raft and dino on every benchmark: ``test_on_flt.py:123-161``,
+    ``test_on_badja.py:161-539``, ``test_on_crohd.py:65-222``).
+
+    Returns ``fn(xys (1,N,2), rgbs (1,T,H,W,3) [0,255]) -> trajs_e (1,T,N,2)``
+    for arbitrary T (full-video for BADJA, S-frame windows for FLT/CroHD).
+    """
+    if modeltype == "raft":
+        import torch
+
+        from pips_tpu.inference.flow_chain import FlowChainTracker
+        from pips_tpu.models.raft import Raftnet
+        from pips_tpu.torchport.convert import convert_raft_state_dict
+
+        sd = torch.load(init_dir, map_location="cpu", weights_only=False)
+        if isinstance(sd, dict) and "model_state_dict" in sd:
+            sd = sd["model_state_dict"]
+        variables = convert_raft_state_dict(
+            {k: np.asarray(v.numpy() if hasattr(v, "numpy") else v)
+             for k, v in sd.items()})
+        net = Raftnet(variables, iters=raft_iters)
+        tracker = FlowChainTracker(net.forward)
+        return lambda xys, rgbs: tracker.track(np.asarray(rgbs),
+                                               np.asarray(xys, np.float32))
+
+    if modeltype == "dino":
+        from pips_tpu.models.dino import DinoTracker
+        from pips_tpu.torchport.convert import convert_dino_vit_state_dict
+
+        sd = load_dino_state_dict(init_dir)
+        dim, depth, heads, patch = infer_dino_arch(sd)
+        trackers: dict = {}  # pos-embed interpolation is per patch-grid shape
+
+        def track(xys, rgbs):
+            H, W = rgbs.shape[2:4]
+            if H % patch or W % patch:
+                raise ValueError(f"dino needs H,W divisible by {patch}, "
+                                 f"got {(H, W)}")
+            key = (H // patch, W // patch)
+            if key not in trackers:
+                variables = convert_dino_vit_state_dict(
+                    sd, grid_hw=key, dim=dim, heads=heads, depth=depth)
+                trackers[key] = DinoTracker(
+                    DinoTracker.make_vit_feat_fn(variables, patch, dim=dim,
+                                                 depth=depth, heads=heads),
+                    patch_size=patch)
+            return trackers[key].track(np.asarray(rgbs[0]),
+                                       np.asarray(xys[0], np.float32))[None]
+
+        return track
+
+    raise ValueError(f"unknown baseline modeltype {modeltype!r}")
+
+
 def resize_video_half_pixel(rgbs: np.ndarray, out_hw: tuple[int, int]) -> np.ndarray:
     """(S, H, W, C) bilinear resize with half-pixel centers (torch
     ``F.interpolate(mode='bilinear', align_corners=False)`` semantics, as used

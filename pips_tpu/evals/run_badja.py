@@ -1,7 +1,8 @@
 """BADJA keypoint propagation eval (capability parity: reference
 ``test_on_badja.py``): resize to 320x512, chain 8-frame windows per keypoint
 (batched here — the reference loops points sequentially), report per-video
-PCK@0.2*sqrt(seg area).
+PCK@0.2*sqrt(seg area). ``--modeltype pips|raft|dino`` selects the model,
+like the reference's three eval columns (``test_on_badja.py:580-592``).
 
     python -m pips_tpu.evals.run_badja --init_dir <ckpt> --data_dir <badja>
 """
@@ -53,11 +54,22 @@ def write_kp_vis(out_dir: str, name: str, rgbs: np.ndarray,
 
 def main(init_dir: str = "checkpoints/ref", data_dir: str = "/data/badja_data",
          S: int = 8, stride: int = 4, iters: int = 6, max_iters: int = 7,
-         resize_hw=(320, 512), dtype: str = "float32", out_dir: str = ""):
-    from pips_tpu.evals.common import make_pips
-    model = make_pips(S=S, stride=stride, dtype=dtype)
-    params = load_params(model, init_dir)
-    chain = ChainTracker(model, params, iters=iters)
+         resize_hw=(320, 512), dtype: str = "float32", out_dir: str = "",
+         modeltype: str = "pips", raft_iters: int = 32):
+    if modeltype == "pips":
+        from pips_tpu.evals.common import make_pips
+        model = make_pips(S=S, stride=stride, dtype=dtype)
+        params = load_params(model, init_dir)
+        chain = ChainTracker(model, params, iters=iters)
+        track = lambda xy0, rgbs: chain.track_video(rgbs, xy0)[0]  # noqa: E731
+    else:
+        # raft: flow-chained trajectories over the full video
+        # (test_on_badja.py:161-228); dino: full-video label propagation
+        # (test_on_badja.py:386-539)
+        from pips_tpu.evals.common import build_baseline_tracker
+        baseline = build_baseline_tracker(modeltype, init_dir,
+                                          raft_iters=raft_iters)
+        track = lambda xy0, rgbs: baseline(xy0[None], rgbs[None])[0]  # noqa: E731
 
     dataset = BadjaDataset(data_dir)
     results = {}
@@ -72,7 +84,7 @@ def main(init_dir: str = "checkpoints/ref", data_dir: str = "/data/badja_data",
         vis = d["visibles"]
 
         t0 = time.time()
-        trajs_e, _ = chain.track_video(rgbs, trajs_g[0].astype(np.float32))
+        trajs_e = track(trajs_g[0].astype(np.float32), rgbs)
         pck = pck_at_sqrt_area(trajs_e, trajs_g, vis, segs)
         results[d["name"]] = pck
         print(f"{d['name']}: pck {pck:.1f} ({time.time() - t0:.1f}s, T={T})")

@@ -3,6 +3,8 @@
 Runs the S=8 (of 24, stride-3) windows through the model and reports pooled
 ATE over the visible and occluded head subsets (reference expected values:
 ate_vis 4.57, ate_occ 7.71 — ``test_on_crohd.py:245-246``).
+``--modeltype pips|raft|dino`` selects the model, like the reference's three
+eval columns (``test_on_crohd.py:276-288``).
 
     python -m pips_tpu.evals.run_crohd --init_dir <ckpt> --dataset_root <ht21>
 """
@@ -26,19 +28,30 @@ from pips_tpu.utils import SimplePool
 def main(init_dir: str = "checkpoints/ref", dataset_root: str = "/data/head_tracking",
          S: int = 8, N: int = 16, stride: int = 4, iters: int = 6,
          max_iters: int = 0, req_occlusion: bool = True, dset: str = "t",
-         dtype: str = "float32"):
-    from pips_tpu.evals.common import make_pips
-    model = make_pips(S=S, stride=stride, dtype=dtype)
-    params = load_params(model, init_dir)
+         dtype: str = "float32", modeltype: str = "pips", raft_iters: int = 32):
+    if modeltype == "pips":
+        from pips_tpu.evals.common import make_pips
+        model = make_pips(S=S, stride=stride, dtype=dtype)
+        params = load_params(model, init_dir)
+
+        @jax.jit
+        def fwd(params, xys, rgbs):
+            out = model.apply(params, xys, rgbs, iters=iters, is_train=False,
+                              corr_mode="onehot")
+            return out.coord_predictions[-1]
+
+        track = lambda xys, rgbs: np.asarray(  # noqa: E731
+            fwd(params, jnp.asarray(xys), jnp.asarray(rgbs)))
+    else:
+        # raft: flow-chained trajectories over the S-frame window
+        # (test_on_crohd.py:169-222); dino: windowed label propagation
+        # (test_on_crohd.py:65-93)
+        from pips_tpu.evals.common import build_baseline_tracker
+        track = build_baseline_tracker(modeltype, init_dir,
+                                       raft_iters=raft_iters)
 
     dataset = CrohdDataset(seqlen=S * 3, dset=dset, dataset_root=dataset_root)
     max_iters = max_iters or len(dataset)
-
-    @jax.jit
-    def fwd(params, xys, rgbs):
-        out = model.apply(params, xys, rgbs, iters=iters, is_train=False,
-                          corr_mode="onehot")
-        return out.coord_predictions[-1], out.vis_e
 
     pools = {k: SimplePool(10000) for k in ("ate_all", "ate_vis", "ate_occ")}
     for step in range(max_iters):
@@ -60,8 +73,7 @@ def main(init_dir: str = "checkpoints/ref", dataset_root: str = "/data/head_trac
             valids = np.ones((1, S, N), np.float32)
 
         t0 = time.time()
-        trajs_e, _ = fwd(params, jnp.asarray(d["trajs_g"][:, 0]),
-                         jnp.asarray(d["rgbs"]))
+        trajs_e = track(d["trajs_g"][:, 0], d["rgbs"])
         m = ate_metrics(np.asarray(trajs_e), d["trajs_g"], valids, d["vis_g"])
         for k, p in pools.items():
             if m[k] > 0:

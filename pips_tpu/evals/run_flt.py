@@ -24,7 +24,7 @@ from pips_tpu.utils.logging import MetricWriter
 
 
 def _build_tracker(modeltype: str, init_dir: str, S: int, stride: int, iters: int,
-                   crop_size=(384, 512), dtype: str = "float32"):
+                   dtype: str = "float32", raft_iters: int = 32):
     """Returns fn(trajs_g0 (1,N,2), rgbs (1,S,H,W,3)) -> trajs_e (1,S,N,2)."""
     if modeltype == "pips":
         from pips_tpu.evals.common import make_pips
@@ -39,68 +39,17 @@ def _build_tracker(modeltype: str, init_dir: str, S: int, stride: int, iters: in
 
         return lambda xys, rgbs: np.asarray(fwd(jnp.asarray(xys), jnp.asarray(rgbs)))
 
-    if modeltype == "raft":
-        from pips_tpu.inference.flow_chain import FlowChainTracker
-        from pips_tpu.models.raft import RAFT
-        from pips_tpu.torchport.convert import convert_raft_state_dict
-        import torch
-
-        sd = torch.load(init_dir, map_location="cpu", weights_only=False)
-        variables = convert_raft_state_dict(
-            {k: v.numpy() for k, v in sd.items()})
-        raft = RAFT()
-
-        @jax.jit
-        def flow_fn(rgb0, rgb1):
-            _, flow_up = raft.apply(variables, (rgb0 + 0.5) * 255.0,
-                                    (rgb1 + 0.5) * 255.0, iters=32)
-            return flow_up
-
-        tracker = FlowChainTracker(flow_fn)
-        return lambda xys, rgbs: tracker.track(rgbs, xys)
-
-    if modeltype == "dino":
-        # init_dir: a local ViT-S/8 DINO checkpoint (the reference pulls it
-        # from torch.hub, test_on_flt.py:245-248)
-        from pips_tpu.models.dino import DinoTracker
-        from pips_tpu.torchport.convert import convert_dino_vit_state_dict
-        import torch
-
-        patch = 8
-        import os
-        if init_dir and os.path.exists(init_dir):
-            sd = torch.load(init_dir, map_location="cpu", weights_only=False)
-            if isinstance(sd, dict) and "state_dict" in sd:
-                sd = sd["state_dict"]
-        else:
-            # reference behavior: pull ViT-S/8 from torch.hub
-            # (test_on_flt.py:245-248); needs network access
-            try:
-                sd = torch.hub.load("facebookresearch/dino:main",
-                                    "dino_vits8").state_dict()
-            except Exception as e:
-                raise FileNotFoundError(
-                    f"dino checkpoint {init_dir!r} not found and torch.hub "
-                    f"fetch failed ({e}); download "
-                    "dino_deitsmall8_pretrain.pth from the DINO release and "
-                    "pass --init_dir <path>") from e
-        sd = {k: v.numpy() for k, v in sd.items()}
-        variables = convert_dino_vit_state_dict(
-            sd, grid_hw=(crop_size[0] // patch, crop_size[1] // patch))
-        tracker = DinoTracker(DinoTracker.make_vit_feat_fn(variables, patch),
-                              patch_size=patch)
-        return lambda xys, rgbs: tracker.track(rgbs[0], xys[0])[None]
-
-    raise ValueError(f"unknown modeltype {modeltype!r}")
+    from pips_tpu.evals.common import build_baseline_tracker
+    return build_baseline_tracker(modeltype, init_dir, raft_iters=raft_iters)
 
 
 def main(init_dir: str = "checkpoints/ref", dataset_location: str = "/data/flyingthings",
          S: int = 8, N: int = 16, stride: int = 8, iters: int = 6,
          crop_size=(384, 512), max_iters: int = 0, log_dir: str = "logs_test_on_flt",
          subset: str = "all", shuffle: bool = True, modeltype: str = "pips",
-         dtype: str = "float32"):
+         dtype: str = "float32", raft_iters: int = 32):
     tracker = _build_tracker(modeltype, init_dir, S, stride, iters,
-                             crop_size=tuple(crop_size), dtype=dtype)
+                             dtype=dtype, raft_iters=raft_iters)
 
     dataset = FlyingThingsDataset(
         dataset_location=dataset_location, dset="TEST", subset=subset,

@@ -141,8 +141,9 @@ class DinoTracker:
         self.neighborhood = neighborhood
 
     @staticmethod
-    def make_vit_feat_fn(variables, patch_size: int = 8):
-        model = ViT(patch_size=patch_size)
+    def make_vit_feat_fn(variables, patch_size: int = 8, dim: int = 384,
+                         depth: int = 12, heads: int = 6):
+        model = ViT(patch_size=patch_size, dim=dim, depth=depth, heads=heads)
 
         @jax.jit
         def feat_fn(rgbs):

@@ -53,6 +53,97 @@ def test_run_crohd_end_to_end(monkeypatch, tmp_path_factory):
     assert np.isfinite(out["ate_all"])
 
 
+@pytest.fixture(scope="module")
+def dino_ckpt(tmp_path_factory):
+    """Tiny DINO-format ViT checkpoint on disk (dim 128 -> 2 heads inferred)."""
+    import torch
+    from test_vit_convert import make_dino_sd
+
+    sd = make_dino_sd(np.random.RandomState(7), dim=128, heads=2, depth=2,
+                      patch=8, grid=4)
+    path = tmp_path_factory.mktemp("dino") / "dino_tiny.pth"
+    torch.save({k: torch.from_numpy(v) for k, v in sd.items()}, str(path))
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def raft_ckpt(tmp_path_factory):
+    """Reference-format RAFT checkpoint (random weights, 'module.' prefixes
+    like the published raft-things.pth)."""
+    import sys
+
+    import torch
+
+    from conftest import REFERENCE_DIR
+
+    if not __import__("os").path.isdir(REFERENCE_DIR):
+        pytest.skip("reference repo not available")
+    for p in (REFERENCE_DIR, f"{REFERENCE_DIR}/nets/raft_core"):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+    from raft import RAFT as TorchRAFT  # noqa: E402
+
+    import argparse
+    args = argparse.Namespace(small=False, mixed_precision=False,
+                              alternate_corr=False)
+    torch.manual_seed(3)
+    sd = {f"module.{k}": v for k, v in TorchRAFT(args).state_dict().items()}
+    path = tmp_path_factory.mktemp("raft") / "raft_tiny.pth"
+    torch.save(sd, str(path))
+    return str(path)
+
+
+def test_run_badja_raft(raft_ckpt, tmp_path_factory):
+    """--modeltype raft: flow-chained baseline over the full BADJA video
+    (reference test_on_badja.py:161-228). 128x160 keeps every corr-pyramid
+    level >= 2px."""
+    from tests_treeutil import make_badja_tree
+
+    from pips_tpu.evals import run_badja
+
+    root = make_badja_tree(tmp_path_factory.mktemp("badja"), T=2)
+    out = run_badja.main(init_dir=raft_ckpt, data_dir=root, max_iters=1,
+                         resize_hw=(128, 160), modeltype="raft", raft_iters=1)
+    assert "avg" in out and np.isfinite(out["avg"])
+
+
+def test_run_badja_dino(dino_ckpt, tmp_path_factory):
+    """--modeltype dino: label-prop baseline (reference test_on_badja.py:386-539)."""
+    from tests_treeutil import make_badja_tree
+
+    from pips_tpu.evals import run_badja
+
+    root = make_badja_tree(tmp_path_factory.mktemp("badja"), T=3)
+    out = run_badja.main(init_dir=dino_ckpt, data_dir=root, max_iters=1,
+                         resize_hw=(64, 96), modeltype="dino")
+    assert "avg" in out and np.isfinite(out["avg"])
+
+
+def test_run_crohd_raft(raft_ckpt, tmp_path_factory):
+    from tests_treeutil import make_crohd_tree
+
+    from pips_tpu.evals import run_crohd
+
+    # S=8 like the pips test: prep_sample's motion filter rejects shorter
+    # windows on this tree; 128x160 keeps every corr-pyramid level >= 2px
+    root = make_crohd_tree(tmp_path_factory.mktemp("ht21"), H=128, W=160)
+    out = run_crohd.main(init_dir=raft_ckpt, dataset_root=root, S=8, N=4,
+                         max_iters=2, req_occlusion=False, modeltype="raft",
+                         raft_iters=1)
+    assert np.isfinite(out["ate_all"])
+
+
+def test_run_crohd_dino(dino_ckpt, tmp_path_factory):
+    from tests_treeutil import make_crohd_tree
+
+    from pips_tpu.evals import run_crohd
+
+    root = make_crohd_tree(tmp_path_factory.mktemp("ht21"))
+    out = run_crohd.main(init_dir=dino_ckpt, dataset_root=root, S=8, N=4,
+                         max_iters=2, req_occlusion=False, modeltype="dino")
+    assert np.isfinite(out["ate_all"])
+
+
 def test_run_davis_end_to_end(monkeypatch, tmp_path_factory):
     from tests_treeutil import make_davis_tree
 

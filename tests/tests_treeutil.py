@@ -66,7 +66,7 @@ def make_badja_tree(root, T=4, H=60, W=80, seed=0) -> str:
     return str(root)
 
 
-def make_crohd_tree(root, n_frames=30, n_heads=4, seed=0) -> str:
+def make_crohd_tree(root, n_frames=30, n_heads=4, seed=0, H=96, W=128) -> str:
     rng = np.random.RandomState(seed)
     for sub in ("HT21-01", "HT21-02", "HT21-03", "HT21-04"):
         img_dir = root / "HT21/train" / sub / "img1"
@@ -74,7 +74,7 @@ def make_crohd_tree(root, n_frames=30, n_heads=4, seed=0) -> str:
         img_dir.mkdir(parents=True)
         gt_dir.mkdir(parents=True)
         for fr in range(n_frames):
-            Image.fromarray((rng.rand(96, 128, 3) * 255).astype(np.uint8)).save(
+            Image.fromarray((rng.rand(H, W, 3) * 255).astype(np.uint8)).save(
                 img_dir / f"{fr + 1:06d}.jpg")
         rows = []
         for fr in range(n_frames):
