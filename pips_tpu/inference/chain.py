@@ -41,19 +41,36 @@ def select_skip(vis_prob: np.ndarray, S: int = 8, thr_init: float = 0.9,
     The reference scans si from S-1 down; si == si_earliest triggers a
     threshold decay and a rescan, so acceptance is the largest
     si in [si_earliest+1, S-1] with vis[si] > thr at the first threshold
-    where any such si exists.
+    where any such si exists. The reference comparison is FLOAT32
+    (torch float32 vis vs a python-float thr cast by the kernel), so the
+    boundary test here casts the decayed threshold to float32 too — a
+    float64 compare flips ties where vis sits within one f32 ulp of thr.
+    The closed-form decay count k0 can be off by one at those same
+    boundaries, so acceptance is evaluated at {k0-1, k0, k0+1} and the
+    smallest accepting level wins (k0+1 always accepts: its threshold is
+    a full decay step below vmax).
     """
-    cand = vis_prob[..., si_earliest + 1:]  # si in [earliest+1, S-1]
-    vmax = cand.max(axis=-1)
-    # number of decays needed: smallest k >= 0 with thr_init - k*decay < vmax
-    k = np.maximum(np.ceil((thr_init - vmax) / thr_decay + 1e-9), 0).astype(np.int64)
-    # strict inequality: if thr_init - k*decay == vmax exactly, decay once more
-    thr = thr_init - k * thr_decay
-    thr = np.where(thr >= vmax, thr - thr_decay, thr)
+    cand = np.asarray(vis_prob, np.float32)[..., si_earliest + 1:]
+    vmax = cand.max(axis=-1).astype(np.float64)
+    # real-arithmetic estimate: smallest k >= 0 with thr_init - k*decay <= vmax
+    k0 = np.maximum(np.ceil((thr_init - vmax) / thr_decay), 0).astype(np.int64)
+    ks = np.stack([np.maximum(k0 - 1, 0), k0, k0 + 1])  # (3, ...)
+    # threshold after k decays, by actual REPEATED f64 subtraction like the
+    # reference loop: `thr_init - k*decay` drifts ~k*eps from it, enough to
+    # flip a strict > against ties (e.g. 0.5 - 5x0.1 = 2.8e-17, not 0.0)
+    seq = np.empty(int(ks.max()) + 1, np.float64)
+    t = float(thr_init)
+    for j in range(seq.shape[0]):
+        seq[j] = t
+        t -= thr_decay
+    thr32 = seq[ks].astype(np.float32)
+    acc = cand[None] > thr32[..., None]  # (3, ..., C) float32 compare
+    any_acc = acc.any(axis=-1)
+    first = np.argmax(any_acc, axis=0)  # smallest accepting level (ks ascend)
+    acc_first = np.take_along_axis(acc, first[None, ..., None], axis=0)[0]
     si = np.arange(si_earliest + 1, S)
-    accept = cand > thr[..., None]
-    # largest accepted si
-    return np.where(accept, si, -1).max(axis=-1)
+    # largest accepted si at that threshold level
+    return np.where(acc_first, si, -1).max(axis=-1)
 
 
 class ChainTracker:

