@@ -124,6 +124,7 @@ class ChainTracker:
         trajs[0] = xys
         feats = np.zeros((N, C), np.float32)
         has_feat = np.zeros(N, bool)
+        self.last_window_starts = [[] for _ in range(N)]
 
         # queue: window start -> point ids
         queue: dict[int, list[int]] = defaultdict(list)
@@ -145,6 +146,11 @@ class ChainTracker:
         and requeue each point at its skip-rule next start (< T)."""
         S = self.S
         S_local = min(S, T - t)
+        if getattr(self, "last_window_starts", None) is not None:
+            # per-point window-start log (chaining telemetry; parity tests
+            # pin it against the reference loop's cur_frame sequence)
+            for g in pts:
+                self.last_window_starts[g].append(t)
         for i0 in range(0, len(pts), self.capacity):
             group = pts[i0:i0 + self.capacity]
             K = len(group)
@@ -243,6 +249,7 @@ class ChainTracker:
         trajs[0] = xys
         feats = np.zeros((N, C), np.float32)
         has_feat = np.zeros(N, bool)
+        self.last_window_starts = [[] for _ in range(N)]
         queue: dict[int, list[int]] = defaultdict(list)
         queue[0] = list(range(N))
 

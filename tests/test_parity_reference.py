@@ -197,6 +197,97 @@ def test_trained_weights_rollout_parity(inputs):
 
 
 @requires_reference
+def test_trained_weights_chaining_parity(inputs):
+    """Chaining-loop parity at trained-ish weights (VERDICT r3 #5): the
+    reference's per-point sliding-window loop (``chain_demo.py:40-83``) vs
+    the batched ``ChainTracker`` on the same T=16 clip. BADJA/CroHD accuracy
+    comes from this loop, not single windows: per-window SKIP decisions must
+    agree exactly and trajectories within the drift policy (docs/TESTING.md).
+    """
+    if REFERENCE_DIR not in sys.path:
+        sys.path.insert(0, REFERENCE_DIR)
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    from nets.pips import Pips as TorchPips
+
+    from test_chain import reference_select_skip
+
+    torch.manual_seed(126)
+    model_t = TorchPips(S=8, stride=8)
+    model_t.train()
+
+    rgbs, xys0, trajs_g, vis_g, valids = inputs
+    t_rgbs = torch.from_numpy(rgbs).permute(0, 1, 4, 2, 3)
+    opt = torch.optim.AdamW(model_t.parameters(), lr=3e-4)
+    for _ in range(8):
+        opt.zero_grad()
+        _, _, _, losses = model_t(
+            torch.from_numpy(xys0), t_rgbs, iters=2,
+            trajs_g=torch.from_numpy(trajs_g), vis_g=torch.from_numpy(vis_g),
+            valids=torch.from_numpy(valids), is_train=True)
+        seq, vis, ce = losses
+        (seq + 10.0 * vis + ce).backward()
+        opt.step()
+    model_t.eval()
+
+    # held-out clip, longer than one window
+    rng = np.random.RandomState(33)
+    T, H, W, N, S, iters = 16, 128, 160, 4, 8, 3
+    clip = (rng.rand(T, H, W, 3) * 255).astype(np.float32)
+    xys = (rng.rand(N, 2) * [W - 32, H - 32] + 16).astype(np.float32)
+
+    # --- reference per-point loop (chain_demo.py:40-83 semantics: window
+    # padded by repeating the last frame, query = current estimate at the
+    # window start, feat_init carried across windows, decaying-threshold skip)
+    rt = torch.from_numpy(clip).permute(0, 3, 1, 2)[None]  # (1, T, 3, H, W)
+    starts_t, trajs_t = [], np.zeros((T, N, 2), np.float32)
+    for n in range(N):
+        traj = np.zeros((T, 2), np.float32)
+        traj[0] = xys[n]
+        feat, cur, st = None, 0, []
+        while True:
+            st.append(cur)
+            seq = rt[:, cur:cur + S]
+            S_local = seq.shape[1]
+            if S_local < S:
+                seq = torch.cat(
+                    [seq, seq[:, -1:].expand(-1, S - S_local, -1, -1, -1)], 1)
+            with torch.no_grad():
+                preds, _, vis, feat, _ = model_t(
+                    torch.from_numpy(traj[cur][None, None]), seq, iters=iters,
+                    feat_init=feat, return_feat=True)
+            visp = torch.sigmoid(vis)[0, :, 0].numpy()
+            traj[cur:cur + S_local] = preds[-1][0, :, 0].numpy()[:S_local]
+            cur += reference_select_skip(visp, S)
+            if cur >= T:
+                break
+        starts_t.append(st)
+        trajs_t[:, n] = traj
+
+    # --- batched ChainTracker with ported weights
+    from pips_tpu.inference import ChainTracker
+    from pips_tpu.models import Pips
+    from pips_tpu.torchport import convert_pips_state_dict
+
+    sd = {k: v.detach().numpy() for k, v in model_t.state_dict().items()}
+    params = {"params": convert_pips_state_dict(sd, mixer_depth=12)}
+    chain = ChainTracker(Pips(S=S, stride=8), params, iters=iters)
+    with jax.default_matmul_precision("highest"):
+        trajs_j, _ = chain.track_video(clip, xys)
+
+    # skip decisions: exact agreement per point (a flipped skip re-windows
+    # the whole remaining trajectory — THE failure mode of a chaining port)
+    assert chain.last_window_starts == starts_t, (
+        chain.last_window_starts, starts_t)
+
+    # trajectories: drift policy as in the rollout test — iterated corr
+    # lookups bifurcate on floor() grid lines, compounded across windows
+    err = np.abs(trajs_j - trajs_t)
+    assert np.median(err) < 2e-2, np.median(err)
+    assert (err > 0.5).mean() < 0.10, (err > 0.5).mean()
+    assert err.max() < 8.0, err.max()
+
+
+@requires_reference
 def test_feat_init_coords_init_parity(reference_pips, ported, inputs):
     """Chaining-relevant plumbing: coords_init + feat_init paths match."""
     rgbs, xys, _, _, _ = inputs
