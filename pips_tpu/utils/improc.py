@@ -296,6 +296,54 @@ class Summ_writer:
             write_gif(self._media_path(name, "gif"), list(frames), fps=self.fps)
         return frames
 
+    def summ_traj2ds_on_rgbs2(self, name: str, trajs: np.ndarray,
+                              visibles: np.ndarray, rgbs: np.ndarray,
+                              valids: Optional[np.ndarray] = None,
+                              cmap: str = "spring", linewidth: int = 1,
+                              only_return: bool = False):
+        """Visibility-coded trajectory overlay (reference
+        ``utils/improc.py:701-759``): lines for every all-frames-valid point,
+        filled/open circles by per-frame visibility. trajs (S, N, 2),
+        visibles/valids (S, N), rgbs (S, H, W, 3)."""
+        if valids is not None:
+            keep = np.asarray(valids).min(axis=0) > 0  # valid in ALL frames
+            trajs, visibles = trajs[:, keep], visibles[:, keep]
+        frames = rgbs if rgbs.dtype == np.uint8 else back2color(rgbs)
+        frames = draw_trajs_on_rgbs2(frames, trajs, visibles, cmap=cmap,
+                                     linewidth=linewidth)
+        if not only_return and self.save_this:
+            write_gif(self._media_path(name, "gif"), list(frames), fps=self.fps)
+        return frames
+
+    def summ_pts_on_rgbs(self, name: str, trajs: np.ndarray, rgbs: np.ndarray,
+                         valids: Optional[np.ndarray] = None,
+                         cmap: str = "coolwarm", linewidth: int = 1,
+                         only_return: bool = False):
+        """Per-frame point markers, no trajectory history (reference
+        ``utils/improc.py:762-817``). trajs (S, N, 2), rgbs (S, H, W, 3),
+        valids (S, N): invalid points are not drawn on that frame."""
+        frames = (rgbs if rgbs.dtype == np.uint8 else back2color(rgbs)).copy()
+        S, N = trajs.shape[:2]
+        colors = _colormap(np.linspace(0, 1, max(N, 2))[:N], cmap)
+        if cv2 is not None:
+            for s in range(S):
+                for n in range(N):
+                    if valids is not None and valids[s, n] <= 0:
+                        continue
+                    p = tuple(np.round(trajs[s, n]).astype(int))
+                    cv2.circle(frames[s], p, linewidth + 1,
+                               tuple(int(c) for c in colors[n]), -1)
+        if not only_return and self.save_this:
+            write_gif(self._media_path(name, "gif"), list(frames), fps=self.fps)
+        return frames
+
+    def summ_gif(self, name: str, frames: np.ndarray, only_return: bool = False):
+        """Write a (S, H, W, 3) frame stack as a gif (reference summ_gif)."""
+        frames = frames if frames.dtype == np.uint8 else back2color(frames)
+        if not only_return and self.save_this:
+            write_gif(self._media_path(name, "gif"), list(frames), fps=self.fps)
+        return frames
+
 
 def draw_circles_at_xy(xys: np.ndarray, H: int, W: int, sigma: float = 1.0) -> np.ndarray:
     """Gaussian blobs at xy positions: (N, 2) -> (N, H, W) float in [0, 1]

@@ -162,3 +162,30 @@ def test_badja_kp_vis_gif(tmp_path):
     path = write_kp_vis(str(tmp_path), "testvid", rgbs, trajs)
     import os
     assert os.path.exists(path) and os.path.getsize(path) > 0
+
+
+def test_summ_traj2ds_on_rgbs2_and_pts(tmp_path, rng):
+    """Reference-parity summaries (utils/improc.py:701-817): visibility-coded
+    circles, valid-filtered lines, per-frame point markers, raw gif."""
+    writer = MetricWriter(str(tmp_path), use_tensorboard=False)
+    sw = Summ_writer(writer, global_step=0, log_freq=1)
+    S, N, H, W = 4, 3, 32, 48
+    rgbs = np.zeros((S, H, W, 3), np.uint8)
+    trajs = (rng.rand(S, N, 2) * [W - 4, H - 4] + 2).astype(np.float32)
+    vis = (rng.rand(S, N) > 0.5).astype(np.float32)
+    valids = np.ones((S, N), np.float32)
+    valids[:, -1] = 0  # last point invalid in every frame -> no line drawn
+
+    frames = sw.summ_traj2ds_on_rgbs2("t2", trajs, vis, rgbs, valids=valids)
+    assert frames.shape == (S, H, W, 3) and frames.sum() > 0
+    assert os.path.exists(os.path.join(str(tmp_path), "media", "00000000_t2.gif"))
+
+    pts = sw.summ_pts_on_rgbs("pts", trajs, rgbs, valids=valids)
+    assert pts.shape == (S, H, W, 3) and pts.sum() > 0
+    # invalid point drew nothing: compare against drawing with all-valid
+    pts_all = sw.summ_pts_on_rgbs("pts_all", trajs, rgbs, only_return=True)
+    assert pts_all.sum() > pts.sum()
+
+    gif = sw.summ_gif("raw", (rng.rand(S, H, W, 3) * 255).astype(np.uint8))
+    assert gif.dtype == np.uint8
+    assert os.path.exists(os.path.join(str(tmp_path), "media", "00000000_raw.gif"))
