@@ -28,7 +28,8 @@ from pips_tpu.utils import SimplePool
 def main(init_dir: str = "checkpoints/ref", dataset_root: str = "/data/head_tracking",
          S: int = 8, N: int = 16, stride: int = 4, iters: int = 6,
          max_iters: int = 0, req_occlusion: bool = True, dset: str = "t",
-         dtype: str = "float32", modeltype: str = "pips", raft_iters: int = 32):
+         dtype: str = "float32", modeltype: str = "pips", raft_iters: int = 32,
+         log_freq: int = 0, log_dir: str = "logs_test_on_crohd"):
     if modeltype == "pips":
         from pips_tpu.evals.common import make_pips
         model = make_pips(S=S, stride=stride, dtype=dtype)
@@ -54,6 +55,7 @@ def main(init_dir: str = "checkpoints/ref", dataset_root: str = "/data/head_trac
     max_iters = max_iters or len(dataset)
 
     pools = {k: SimplePool(10000) for k in ("ate_all", "ate_vis", "ate_occ")}
+    writer = None
     for step in range(max_iters):
         raw = dataset[step]
         d, ok = prep_sample(raw, N_max=N, S_stride=3, req_occlusion=req_occlusion)
@@ -80,6 +82,23 @@ def main(init_dir: str = "checkpoints/ref", dataset_root: str = "/data/head_trac
                 p.update([m[k]])
         print(f"step {step + 1:04d}/{max_iters}; itime {time.time() - t0:.2f}; "
               + "; ".join(f"{k} {p.mean():.2f}" for k, p in pools.items()))
+        if log_freq and step % log_freq == 0:
+            # reference test_on_crohd.py:102,152,217: ATE-stamped gt trajs on
+            # the time-mean frame ('winter'), plus the estimate gif
+            from pips_tpu.utils.improc import Summ_writer, preprocess_color
+            from pips_tpu.utils.logging import MetricWriter
+            if writer is None:
+                writer = MetricWriter(log_dir, use_tensorboard=False)
+            sw = Summ_writer(writer, global_step=step, log_freq=1, fps=8)
+            rgb_mean = preprocess_color(d["rgbs"][0].mean(axis=0))
+            sw.summ_traj2ds_on_rgb("inputs_0_all/single_trajs_on_rgb",
+                                   d["trajs_g"][0], rgb_mean, valids=valids[0],
+                                   cmap="winter", linewidth=2,
+                                   frame_id=m["ate_all"])
+            sw.summ_traj2ds_on_rgbs("outputs/trajs_on_rgbs",
+                                    np.asarray(trajs_e)[0],
+                                    preprocess_color(d["rgbs"][0]),
+                                    cmap="spring", linewidth=2)
     return {k: p.mean() for k, p in pools.items()}
 
 

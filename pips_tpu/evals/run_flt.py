@@ -47,7 +47,7 @@ def main(init_dir: str = "checkpoints/ref", dataset_location: str = "/data/flyin
          S: int = 8, N: int = 16, stride: int = 8, iters: int = 6,
          crop_size=(384, 512), max_iters: int = 0, log_dir: str = "logs_test_on_flt",
          subset: str = "all", shuffle: bool = True, modeltype: str = "pips",
-         dtype: str = "float32", raft_iters: int = 32):
+         dtype: str = "float32", raft_iters: int = 32, log_freq: int = 0):
     tracker = _build_tracker(modeltype, init_dir, S, stride, iters,
                              dtype=dtype, raft_iters=raft_iters)
 
@@ -82,6 +82,20 @@ def main(init_dir: str = "checkpoints/ref", dataset_location: str = "/data/flyin
         print(f"step {step:06d}/{max_iters}; itime {time.time() - t0:.2f}; "
               + "; ".join(f"{k} {p.mean():.2f}" for k, p in pools.items()))
         writer.scalars(step, {f"pooled/{k}": p.mean() for k, p in pools.items()})
+        if log_freq and step % log_freq == 0:
+            # the reference's eval media (test_on_flt.py:58,106,177): gt trajs
+            # in 'winter' on the time-mean frame, ATE stamped top-left, and
+            # the estimated trajs as a per-frame gif
+            from pips_tpu.utils.improc import Summ_writer, preprocess_color
+            sw = Summ_writer(writer, global_step=step, log_freq=1, fps=8)
+            rgb_mean = preprocess_color(rgbs[0].mean(axis=0))
+            sw.summ_traj2ds_on_rgb("inputs_0_all/single_trajs_on_rgb",
+                                   trajs_g[0], rgb_mean, valids=valids[0],
+                                   cmap="winter", linewidth=2,
+                                   frame_id=m["ate_all"])
+            sw.summ_traj2ds_on_rgbs("outputs/trajs_on_rgbs", trajs_e[0],
+                                    preprocess_color(rgbs[0]), cmap="spring",
+                                    linewidth=2)
     writer.close()
     return {k: p.mean() for k, p in pools.items()}
 

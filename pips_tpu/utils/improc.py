@@ -50,6 +50,29 @@ def _colormap(vals: np.ndarray, cmap: str = "spring") -> np.ndarray:
     return (np.asarray(mapper(np.clip(vals, 0, 1)))[..., :3] * 255).astype(np.uint8)
 
 
+def strnum(x) -> str:
+    """Compact number formatting for frame-id stamps (reference
+    ``utils/basic.py:14-19``): '%g', with the leading 0 dropped below 1.0."""
+    s = "%g" % x
+    if "." in s and x < 1.0:
+        s = s[s.index("."):]
+    return s
+
+
+def draw_frame_id_on_vis(vis: np.ndarray, frame_id, scale: float = 0.5,
+                         left: int = 5, top: int = 20) -> np.ndarray:
+    """Stamp a frame id (or any scalar, e.g. an ATE value) onto an image —
+    reference ``utils/improc.py:294-314``, used by every eval script to label
+    trajectory overlays with the metric value. vis: (H, W, 3) uint8 RGB;
+    returns a stamped copy."""
+    img = np.ascontiguousarray(vis).copy()
+    if cv2 is None or frame_id is None:
+        return img
+    cv2.putText(img, strnum(frame_id), (left, top),
+                cv2.FONT_HERSHEY_SIMPLEX, scale, (255, 255, 255), 1)
+    return img
+
+
 def draw_trajs_on_rgb(rgb: np.ndarray, trajs: np.ndarray,
                       valids: Optional[np.ndarray] = None, cmap: str = "spring",
                       linewidth: int = 1, show_dots: bool = True) -> np.ndarray:
@@ -200,9 +223,13 @@ class Summ_writer:
         if self.global_step % self.scalar_freq == 0:
             self.writer.scalars(self.global_step, {name: float(value)})
 
-    def summ_rgb(self, name: str, rgb: np.ndarray, only_return: bool = False):
-        """rgb: (H, W, 3) float [-0.5,0.5] or uint8."""
+    def summ_rgb(self, name: str, rgb: np.ndarray, only_return: bool = False,
+                 frame_id=None):
+        """rgb: (H, W, 3) float [-0.5,0.5] or uint8. ``frame_id`` stamps the
+        value top-left (reference passes e.g. the ATE here)."""
         img = rgb if rgb.dtype == np.uint8 else back2color(rgb)
+        if frame_id is not None:
+            img = draw_frame_id_on_vis(img, frame_id)
         if not only_return and self.save_this and cv2 is not None:
             path = self._media_path(name, "png")
             os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -210,26 +237,35 @@ class Summ_writer:
         return img
 
     def summ_rgbs(self, name: str, rgbs: Sequence[np.ndarray],
-                  only_return: bool = False):
+                  only_return: bool = False, frame_ids=None):
         frames = [r if r.dtype == np.uint8 else back2color(r) for r in rgbs]
+        if frame_ids is not None:
+            frames = [draw_frame_id_on_vis(f, i)
+                      for f, i in zip(frames, frame_ids)]
         if not only_return and self.save_this:
             write_gif(self._media_path(name, "gif"), frames, fps=self.fps)
         return np.stack(frames)
 
     def summ_oned(self, name: str, x: np.ndarray, norm: bool = True,
-                  only_return: bool = False):
+                  only_return: bool = False, frame_id=None):
         img = oned_to_rgb(x, norm=norm)
-        return self.summ_rgb(name, img, only_return=only_return)
+        return self.summ_rgb(name, img, only_return=only_return,
+                             frame_id=frame_id)
 
     def summ_oneds(self, name: str, xs: Sequence[np.ndarray], norm: bool = True,
-                   only_return: bool = False):
+                   only_return: bool = False, frame_ids=None):
         frames = [oned_to_rgb(x, norm=norm) for x in xs]
+        if frame_ids is not None:
+            frames = [draw_frame_id_on_vis(f, i)
+                      for f, i in zip(frames, frame_ids)]
         if not only_return and self.save_this:
             write_gif(self._media_path(name, "gif"), frames, fps=self.fps)
         return np.stack(frames)
 
-    def summ_feat(self, name: str, feat: np.ndarray, only_return: bool = False):
-        return self.summ_rgb(name, pca_feat_vis(feat), only_return=only_return)
+    def summ_feat(self, name: str, feat: np.ndarray, only_return: bool = False,
+                  frame_id=None):
+        return self.summ_rgb(name, pca_feat_vis(feat), only_return=only_return,
+                             frame_id=frame_id)
 
     def summ_feats(self, name: str, feats: Sequence[np.ndarray],
                    only_return: bool = False):
@@ -239,10 +275,10 @@ class Summ_writer:
         return np.stack(frames)
 
     def summ_flow(self, name: str, flow: np.ndarray, clip: float = 0.0,
-                  only_return: bool = False):
+                  only_return: bool = False, frame_id=None):
         """flow: (H, W, 2) xy displacement."""
         return self.summ_rgb(name, flow2color(flow, clip=clip),
-                             only_return=only_return)
+                             only_return=only_return, frame_id=frame_id)
 
     def summ_flows(self, name: str, flows: Sequence[np.ndarray],
                    clip: float = 0.0, only_return: bool = False):
@@ -254,11 +290,12 @@ class Summ_writer:
     def summ_traj2ds_on_rgb(self, name: str, trajs: np.ndarray, rgb: np.ndarray,
                             valids: Optional[np.ndarray] = None,
                             cmap: str = "spring", linewidth: int = 1,
-                            only_return: bool = False):
+                            only_return: bool = False, frame_id=None):
         img = rgb if rgb.dtype == np.uint8 else back2color(rgb)
         img = draw_trajs_on_rgb(img, trajs, valids=valids, cmap=cmap,
                                 linewidth=linewidth)
-        return self.summ_rgb(name, img, only_return=only_return)
+        return self.summ_rgb(name, img, only_return=only_return,
+                             frame_id=frame_id)
 
     def summ_soft_seg_thr(self, name: str, seg: np.ndarray,
                           label_colors: Optional[np.ndarray] = None,
@@ -288,10 +325,13 @@ class Summ_writer:
     def summ_traj2ds_on_rgbs(self, name: str, trajs: np.ndarray, rgbs: np.ndarray,
                              visibles: Optional[np.ndarray] = None,
                              cmap: str = "spring", linewidth: int = 1,
-                             only_return: bool = False):
+                             only_return: bool = False, frame_ids=None):
         frames = rgbs if rgbs.dtype == np.uint8 else back2color(rgbs)
         frames = draw_trajs_on_rgbs(frames, trajs, visibles=visibles, cmap=cmap,
                                     linewidth=linewidth)
+        if frame_ids is not None:
+            frames = np.stack([draw_frame_id_on_vis(f, i)
+                               for f, i in zip(frames, frame_ids)])
         if not only_return and self.save_this:
             write_gif(self._media_path(name, "gif"), list(frames), fps=self.fps)
         return frames
@@ -300,7 +340,7 @@ class Summ_writer:
                               visibles: np.ndarray, rgbs: np.ndarray,
                               valids: Optional[np.ndarray] = None,
                               cmap: str = "spring", linewidth: int = 1,
-                              only_return: bool = False):
+                              only_return: bool = False, frame_ids=None):
         """Visibility-coded trajectory overlay (reference
         ``utils/improc.py:701-759``): lines for every all-frames-valid point,
         filled/open circles by per-frame visibility. trajs (S, N, 2),
@@ -311,6 +351,9 @@ class Summ_writer:
         frames = rgbs if rgbs.dtype == np.uint8 else back2color(rgbs)
         frames = draw_trajs_on_rgbs2(frames, trajs, visibles, cmap=cmap,
                                      linewidth=linewidth)
+        if frame_ids is not None:
+            frames = np.stack([draw_frame_id_on_vis(f, i)
+                               for f, i in zip(frames, frame_ids)])
         if not only_return and self.save_this:
             write_gif(self._media_path(name, "gif"), list(frames), fps=self.fps)
         return frames
@@ -318,7 +361,7 @@ class Summ_writer:
     def summ_pts_on_rgbs(self, name: str, trajs: np.ndarray, rgbs: np.ndarray,
                          valids: Optional[np.ndarray] = None,
                          cmap: str = "coolwarm", linewidth: int = 1,
-                         only_return: bool = False):
+                         only_return: bool = False, frame_ids=None):
         """Per-frame point markers, no trajectory history (reference
         ``utils/improc.py:762-817``). trajs (S, N, 2), rgbs (S, H, W, 3),
         valids (S, N): invalid points are not drawn on that frame."""
@@ -333,6 +376,9 @@ class Summ_writer:
                     p = tuple(np.round(trajs[s, n]).astype(int))
                     cv2.circle(frames[s], p, linewidth + 1,
                                tuple(int(c) for c in colors[n]), -1)
+        if frame_ids is not None:
+            frames = np.stack([draw_frame_id_on_vis(f, i)
+                               for f, i in zip(frames, frame_ids)])
         if not only_return and self.save_this:
             write_gif(self._media_path(name, "gif"), list(frames), fps=self.fps)
         return frames

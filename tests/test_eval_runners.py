@@ -22,11 +22,19 @@ def test_run_flt_end_to_end(monkeypatch, tmp_path_factory):
 
     root = make_flyingthings_tree(tmp_path_factory.mktemp("flt"), dset="TEST")
     monkeypatch.setattr(run_flt, "Pips", tiny_pips)
+    logd = str(tmp_path_factory.mktemp("logs"))
     out = run_flt.main(init_dir="random", dataset_location=root, N=8,
                        crop_size=(96, 128), max_iters=2, iters=1,
-                       log_dir=str(tmp_path_factory.mktemp("logs")))
+                       log_dir=logd, log_freq=1)
     assert np.isfinite(out["ate_all"])
     assert out["ate_all"] > 0
+    # log_freq emitted the reference's eval media (ATE-stamped gt overlay
+    # + estimate gif; test_on_flt.py:58,106)
+    import glob
+    import os
+    media = glob.glob(os.path.join(logd, "media", "*"))
+    assert any(m.endswith(".png") for m in media)
+    assert any(m.endswith(".gif") for m in media)
 
 
 def test_run_badja_end_to_end(monkeypatch, tmp_path_factory):
@@ -48,9 +56,16 @@ def test_run_crohd_end_to_end(monkeypatch, tmp_path_factory):
 
     root = make_crohd_tree(tmp_path_factory.mktemp("ht21"))
     monkeypatch.setattr(run_crohd, "Pips", tiny_pips)
+    logd = str(tmp_path_factory.mktemp("crohd_logs"))
     out = run_crohd.main(init_dir="random", dataset_root=root, S=8, stride=8,
-                         N=4, iters=1, max_iters=2, req_occlusion=False)
+                         N=4, iters=1, max_iters=2, req_occlusion=False,
+                         log_freq=1, log_dir=logd)
     assert np.isfinite(out["ate_all"])
+    import glob
+    import os
+    media = glob.glob(os.path.join(logd, "media", "*"))
+    assert any(m.endswith(".png") for m in media)
+    assert any(m.endswith(".gif") for m in media)
 
 
 @pytest.fixture(scope="module")

@@ -189,3 +189,45 @@ def test_summ_traj2ds_on_rgbs2_and_pts(tmp_path, rng):
     gif = sw.summ_gif("raw", (rng.rand(S, H, W, 3) * 255).astype(np.uint8))
     assert gif.dtype == np.uint8
     assert os.path.exists(os.path.join(str(tmp_path), "media", "00000000_raw.gif"))
+
+
+def test_frame_id_stamping(tmp_path, rng):
+    """frame_id/frame_ids stamp values onto vis output (reference
+    utils/improc.py:294-314 draw_frame_id_on_vis; every eval script stamps
+    the ATE via summ_traj2ds_on_rgb(frame_id=...))."""
+    from pips_tpu.utils.improc import draw_frame_id_on_vis, strnum
+
+    # strnum: reference utils/basic.py:14-19 formatting
+    assert strnum(3) == "3"
+    assert strnum(4.57) == "4.57"
+    assert strnum(0.25) == ".25"
+
+    img = np.zeros((40, 80, 3), np.uint8)
+    stamped = draw_frame_id_on_vis(img, 6.03)
+    assert stamped.shape == img.shape
+    assert stamped.sum() > 0           # white text appeared
+    assert img.sum() == 0              # input untouched (copy semantics)
+
+    writer = MetricWriter(str(tmp_path), use_tensorboard=False)
+    sw = Summ_writer(writer, global_step=0, log_freq=1)
+    S, N, H, W = 4, 3, 40, 64
+    rgbs = np.zeros((S, H, W, 3), np.uint8)
+    trajs = (rng.rand(S, N, 2) * [W - 4, H - 4] + 2).astype(np.float32)
+    vis = np.ones((S, N), np.float32)
+
+    plain = sw.summ_traj2ds_on_rgb("a", trajs, rgbs[0], only_return=True)
+    tagged = sw.summ_traj2ds_on_rgb("b", trajs, rgbs[0], only_return=True,
+                                    frame_id=12.5)
+    assert tagged.sum() > plain.sum()  # stamp added pixels
+
+    seq = sw.summ_traj2ds_on_rgbs2("c", trajs, vis, rgbs, only_return=True,
+                                   frame_ids=list(range(S)))
+    seq0 = sw.summ_traj2ds_on_rgbs2("d", trajs, vis, rgbs, only_return=True)
+    assert seq.sum() > seq0.sum()
+
+    gif = sw.summ_rgbs("e", list(rgbs), only_return=True,
+                       frame_ids=list(range(S)))
+    assert gif.sum() > 0
+    ods = sw.summ_oneds("f", [rng.rand(H, W) for _ in range(S)],
+                        only_return=True, frame_ids=list(range(S)))
+    assert ods.shape == (S, H, W, 3)
