@@ -185,3 +185,41 @@ def resize_video_nearest(x: np.ndarray, out_hw: tuple[int, int]) -> np.ndarray:
     ys = (np.arange(out_hw[0]) * H / out_hw[0]).astype(np.int64)
     xs = (np.arange(out_hw[1]) * W / out_hw[1]).astype(np.int64)
     return x[:, ys][:, :, xs]
+
+
+def build_pips_tracker(init_dir: str, S: int, stride: int, iters: int,
+                       dtype: str = "float32", corr_mode: str = "onehot"):
+    """Fixed-window PIPs tracker: fn(xys (1,N,2), rgbs (1,S,H,W,3)) ->
+    trajs_e (1,S,N,2). The shared pips branch of every eval runner."""
+    import jax.numpy as jnp
+
+    model = make_pips(S=S, stride=stride, dtype=dtype)
+    params = load_params(model, init_dir)
+
+    @jax.jit
+    def fwd(xys, rgbs):
+        out = model.apply(params, xys, rgbs, iters=iters, is_train=False,
+                          corr_mode=corr_mode)
+        return out.coord_predictions[-1]
+
+    return lambda xys, rgbs: np.asarray(fwd(jnp.asarray(xys), jnp.asarray(rgbs)))
+
+
+def emit_eval_media(writer, step: int, rgbs: np.ndarray, trajs_g: np.ndarray,
+                    trajs_e: np.ndarray, valids: np.ndarray, ate: float,
+                    fps: int = 8) -> None:
+    """The reference eval scripts' media pair (``test_on_flt.py:58,106``,
+    ``test_on_crohd.py:102,152``): gt trajs in 'winter' on the time-mean
+    frame with the ATE stamped top-left, plus the estimated trajs as a
+    per-frame 'spring' gif. rgbs (S,H,W,3) float 0..255; trajs (S,N,2);
+    valids (S,N)."""
+    from pips_tpu.utils.improc import Summ_writer, preprocess_color
+
+    sw = Summ_writer(writer, global_step=step, log_freq=1, fps=fps)
+    rgb_mean = preprocess_color(rgbs.mean(axis=0))
+    sw.summ_traj2ds_on_rgb("inputs_0_all/single_trajs_on_rgb", trajs_g,
+                           rgb_mean, valids=valids, cmap="winter",
+                           linewidth=2, frame_id=ate)
+    sw.summ_traj2ds_on_rgbs("outputs/trajs_on_rgbs", trajs_e,
+                            preprocess_color(rgbs), cmap="spring",
+                            linewidth=2)

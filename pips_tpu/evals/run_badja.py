@@ -17,7 +17,6 @@ from pips_tpu.data.badja import BadjaDataset
 from pips_tpu.evals.common import load_params, resize_video_half_pixel, resize_video_nearest
 from pips_tpu.evals.metrics import pck_at_sqrt_area
 from pips_tpu.inference import ChainTracker
-from pips_tpu.models import Pips
 
 
 def write_kp_vis(out_dir: str, name: str, rgbs: np.ndarray,

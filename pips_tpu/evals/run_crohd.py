@@ -15,13 +15,8 @@ import time
 
 import numpy as np
 
-import jax
-import jax.numpy as jnp
-
 from pips_tpu.data.crohd import CrohdDataset, prep_sample
-from pips_tpu.evals.common import load_params
 from pips_tpu.evals.metrics import ate_metrics
-from pips_tpu.models import Pips
 from pips_tpu.utils import SimplePool
 
 
@@ -31,18 +26,9 @@ def main(init_dir: str = "checkpoints/ref", dataset_root: str = "/data/head_trac
          dtype: str = "float32", modeltype: str = "pips", raft_iters: int = 32,
          log_freq: int = 0, log_dir: str = "logs_test_on_crohd"):
     if modeltype == "pips":
-        from pips_tpu.evals.common import make_pips
-        model = make_pips(S=S, stride=stride, dtype=dtype)
-        params = load_params(model, init_dir)
-
-        @jax.jit
-        def fwd(params, xys, rgbs):
-            out = model.apply(params, xys, rgbs, iters=iters, is_train=False,
-                              corr_mode="onehot")
-            return out.coord_predictions[-1]
-
-        track = lambda xys, rgbs: np.asarray(  # noqa: E731
-            fwd(params, jnp.asarray(xys), jnp.asarray(rgbs)))
+        from pips_tpu.evals.common import build_pips_tracker
+        track = build_pips_tracker(init_dir, S=S, stride=stride, iters=iters,
+                                   dtype=dtype)
     else:
         # raft: flow-chained trajectories over the S-frame window
         # (test_on_crohd.py:169-222); dino: windowed label propagation
@@ -83,22 +69,14 @@ def main(init_dir: str = "checkpoints/ref", dataset_root: str = "/data/head_trac
         print(f"step {step + 1:04d}/{max_iters}; itime {time.time() - t0:.2f}; "
               + "; ".join(f"{k} {p.mean():.2f}" for k, p in pools.items()))
         if log_freq and step % log_freq == 0:
-            # reference test_on_crohd.py:102,152,217: ATE-stamped gt trajs on
-            # the time-mean frame ('winter'), plus the estimate gif
-            from pips_tpu.utils.improc import Summ_writer, preprocess_color
+            from pips_tpu.evals.common import emit_eval_media
             from pips_tpu.utils.logging import MetricWriter
             if writer is None:
                 writer = MetricWriter(log_dir, use_tensorboard=False)
-            sw = Summ_writer(writer, global_step=step, log_freq=1, fps=8)
-            rgb_mean = preprocess_color(d["rgbs"][0].mean(axis=0))
-            sw.summ_traj2ds_on_rgb("inputs_0_all/single_trajs_on_rgb",
-                                   d["trajs_g"][0], rgb_mean, valids=valids[0],
-                                   cmap="winter", linewidth=2,
-                                   frame_id=m["ate_all"])
-            sw.summ_traj2ds_on_rgbs("outputs/trajs_on_rgbs",
-                                    np.asarray(trajs_e)[0],
-                                    preprocess_color(d["rgbs"][0]),
-                                    cmap="spring", linewidth=2)
+            emit_eval_media(writer, step, d["rgbs"][0], d["trajs_g"][0],
+                            np.asarray(trajs_e)[0], valids[0], m["ate_all"])
+    if writer is not None:
+        writer.close()
     return {k: p.mean() for k, p in pools.items()}
 
 

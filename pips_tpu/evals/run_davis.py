@@ -19,7 +19,6 @@ import jax.numpy as jnp
 
 from pips_tpu.evals.common import load_params, resize_video_half_pixel
 from pips_tpu.inference.window import dense_queries
-from pips_tpu.models import Pips
 
 
 def main(init_dir: str = "checkpoints/ref", davis_dir: str = "/data/davis",

@@ -12,13 +12,8 @@ import time
 
 import numpy as np
 
-import jax
-import jax.numpy as jnp
-
 from pips_tpu.data.flyingthings import FlyingThingsDataset
-from pips_tpu.evals.common import load_params
 from pips_tpu.evals.metrics import ate_metrics, per_seq_vis_label
-from pips_tpu.models import Pips
 from pips_tpu.utils import SimplePool
 from pips_tpu.utils.logging import MetricWriter
 
@@ -27,17 +22,9 @@ def _build_tracker(modeltype: str, init_dir: str, S: int, stride: int, iters: in
                    dtype: str = "float32", raft_iters: int = 32):
     """Returns fn(trajs_g0 (1,N,2), rgbs (1,S,H,W,3)) -> trajs_e (1,S,N,2)."""
     if modeltype == "pips":
-        from pips_tpu.evals.common import make_pips
-        model = make_pips(S=S, stride=stride, dtype=dtype)
-        params = load_params(model, init_dir)
-
-        @jax.jit
-        def fwd(xys, rgbs):
-            out = model.apply(params, xys, rgbs, iters=iters, is_train=False,
-                              corr_mode="onehot")
-            return out.coord_predictions[-1]
-
-        return lambda xys, rgbs: np.asarray(fwd(jnp.asarray(xys), jnp.asarray(rgbs)))
+        from pips_tpu.evals.common import build_pips_tracker
+        return build_pips_tracker(init_dir, S=S, stride=stride, iters=iters,
+                                  dtype=dtype)
 
     from pips_tpu.evals.common import build_baseline_tracker
     return build_baseline_tracker(modeltype, init_dir, raft_iters=raft_iters)
@@ -83,19 +70,9 @@ def main(init_dir: str = "checkpoints/ref", dataset_location: str = "/data/flyin
               + "; ".join(f"{k} {p.mean():.2f}" for k, p in pools.items()))
         writer.scalars(step, {f"pooled/{k}": p.mean() for k, p in pools.items()})
         if log_freq and step % log_freq == 0:
-            # the reference's eval media (test_on_flt.py:58,106,177): gt trajs
-            # in 'winter' on the time-mean frame, ATE stamped top-left, and
-            # the estimated trajs as a per-frame gif
-            from pips_tpu.utils.improc import Summ_writer, preprocess_color
-            sw = Summ_writer(writer, global_step=step, log_freq=1, fps=8)
-            rgb_mean = preprocess_color(rgbs[0].mean(axis=0))
-            sw.summ_traj2ds_on_rgb("inputs_0_all/single_trajs_on_rgb",
-                                   trajs_g[0], rgb_mean, valids=valids[0],
-                                   cmap="winter", linewidth=2,
-                                   frame_id=m["ate_all"])
-            sw.summ_traj2ds_on_rgbs("outputs/trajs_on_rgbs", trajs_e[0],
-                                    preprocess_color(rgbs[0]), cmap="spring",
-                                    linewidth=2)
+            from pips_tpu.evals.common import emit_eval_media
+            emit_eval_media(writer, step, rgbs[0], trajs_g[0], trajs_e[0],
+                            valids[0], m["ate_all"])
     writer.close()
     return {k: p.mean() for k, p in pools.items()}
 

@@ -78,8 +78,12 @@ class ChainTracker:
 
     def __init__(self, model: Pips, params, iters: int = 6, capacity: int = 256,
                  corr_mode: str = "onehot", encode_chunk: int = 8,
-                 select_fn=None, S: int = 0):
+                 select_fn=None, S: int = 0, record_starts: bool = False):
         self.model = model
+        # per-point window-start telemetry (parity tests pin it against the
+        # reference loop's cur_frame sequence); off by default — the append
+        # loop is per-point per-window, real cost at dense N
+        self.record_starts = record_starts
         # window length: fixed by the model for Pips; a free choice for the
         # S-agnostic Pips2 family (pass S=, default 8)
         self.S = S or getattr(model, "S", 8)
@@ -124,7 +128,8 @@ class ChainTracker:
         trajs[0] = xys
         feats = np.zeros((N, C), np.float32)
         has_feat = np.zeros(N, bool)
-        self.last_window_starts = [[] for _ in range(N)]
+        self.last_window_starts = (
+            [[] for _ in range(N)] if self.record_starts else None)
 
         # queue: window start -> point ids
         queue: dict[int, list[int]] = defaultdict(list)
@@ -146,9 +151,7 @@ class ChainTracker:
         and requeue each point at its skip-rule next start (< T)."""
         S = self.S
         S_local = min(S, T - t)
-        if getattr(self, "last_window_starts", None) is not None:
-            # per-point window-start log (chaining telemetry; parity tests
-            # pin it against the reference loop's cur_frame sequence)
+        if self.last_window_starts is not None:
             for g in pts:
                 self.last_window_starts[g].append(t)
         for i0 in range(0, len(pts), self.capacity):
@@ -249,7 +252,8 @@ class ChainTracker:
         trajs[0] = xys
         feats = np.zeros((N, C), np.float32)
         has_feat = np.zeros(N, bool)
-        self.last_window_starts = [[] for _ in range(N)]
+        self.last_window_starts = (
+            [[] for _ in range(N)] if self.record_starts else None)
         queue: dict[int, list[int]] = defaultdict(list)
         queue[0] = list(range(N))
 

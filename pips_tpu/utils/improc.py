@@ -52,11 +52,24 @@ def _colormap(vals: np.ndarray, cmap: str = "spring") -> np.ndarray:
 
 def strnum(x) -> str:
     """Compact number formatting for frame-id stamps (reference
-    ``utils/basic.py:14-19``): '%g', with the leading 0 dropped below 1.0."""
+    ``utils/basic.py:14-19``): '%g', with the leading 0 dropped below 1.0.
+    Divergence from the reference: it strips the sign off negatives too
+    (``-0.5 -> '.5'``); here only the leading zero is dropped."""
     s = "%g" % x
-    if "." in s and x < 1.0:
-        s = s[s.index("."):]
+    if s.startswith("0."):
+        s = s[1:]
+    elif s.startswith("-0."):
+        s = "-" + s[2:]
     return s
+
+
+def _stamp_frames(frames, frame_ids):
+    """Stamp one id per frame; a length mismatch is a caller bug (the
+    reference asserts len(frame_ids)==S too) — zip would silently truncate."""
+    frames = list(frames)
+    assert len(frame_ids) == len(frames), (len(frame_ids), len(frames))
+    return np.stack([draw_frame_id_on_vis(f, i)
+                     for f, i in zip(frames, frame_ids)])
 
 
 def draw_frame_id_on_vis(vis: np.ndarray, frame_id, scale: float = 0.5,
@@ -240,8 +253,7 @@ class Summ_writer:
                   only_return: bool = False, frame_ids=None):
         frames = [r if r.dtype == np.uint8 else back2color(r) for r in rgbs]
         if frame_ids is not None:
-            frames = [draw_frame_id_on_vis(f, i)
-                      for f, i in zip(frames, frame_ids)]
+            frames = list(_stamp_frames(frames, frame_ids))
         if not only_return and self.save_this:
             write_gif(self._media_path(name, "gif"), frames, fps=self.fps)
         return np.stack(frames)
@@ -256,8 +268,7 @@ class Summ_writer:
                    only_return: bool = False, frame_ids=None):
         frames = [oned_to_rgb(x, norm=norm) for x in xs]
         if frame_ids is not None:
-            frames = [draw_frame_id_on_vis(f, i)
-                      for f, i in zip(frames, frame_ids)]
+            frames = list(_stamp_frames(frames, frame_ids))
         if not only_return and self.save_this:
             write_gif(self._media_path(name, "gif"), frames, fps=self.fps)
         return np.stack(frames)
@@ -330,8 +341,7 @@ class Summ_writer:
         frames = draw_trajs_on_rgbs(frames, trajs, visibles=visibles, cmap=cmap,
                                     linewidth=linewidth)
         if frame_ids is not None:
-            frames = np.stack([draw_frame_id_on_vis(f, i)
-                               for f, i in zip(frames, frame_ids)])
+            frames = _stamp_frames(frames, frame_ids)
         if not only_return and self.save_this:
             write_gif(self._media_path(name, "gif"), list(frames), fps=self.fps)
         return frames
@@ -352,8 +362,7 @@ class Summ_writer:
         frames = draw_trajs_on_rgbs2(frames, trajs, visibles, cmap=cmap,
                                      linewidth=linewidth)
         if frame_ids is not None:
-            frames = np.stack([draw_frame_id_on_vis(f, i)
-                               for f, i in zip(frames, frame_ids)])
+            frames = _stamp_frames(frames, frame_ids)
         if not only_return and self.save_this:
             write_gif(self._media_path(name, "gif"), list(frames), fps=self.fps)
         return frames
@@ -377,8 +386,7 @@ class Summ_writer:
                     cv2.circle(frames[s], p, linewidth + 1,
                                tuple(int(c) for c in colors[n]), -1)
         if frame_ids is not None:
-            frames = np.stack([draw_frame_id_on_vis(f, i)
-                               for f, i in zip(frames, frame_ids)])
+            frames = _stamp_frames(frames, frame_ids)
         if not only_return and self.save_this:
             write_gif(self._media_path(name, "gif"), list(frames), fps=self.fps)
         return frames

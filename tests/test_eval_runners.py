@@ -3,6 +3,7 @@
 import numpy as np
 import pytest
 
+from pips_tpu.evals import common as evals_common
 from pips_tpu.models import Pips
 
 PIL = pytest.importorskip("PIL")
@@ -21,7 +22,7 @@ def test_run_flt_end_to_end(monkeypatch, tmp_path_factory):
     from pips_tpu.evals import run_flt
 
     root = make_flyingthings_tree(tmp_path_factory.mktemp("flt"), dset="TEST")
-    monkeypatch.setattr(run_flt, "Pips", tiny_pips)
+    monkeypatch.setattr(evals_common, "Pips", tiny_pips)
     logd = str(tmp_path_factory.mktemp("logs"))
     out = run_flt.main(init_dir="random", dataset_location=root, N=8,
                        crop_size=(96, 128), max_iters=2, iters=1,
@@ -43,7 +44,7 @@ def test_run_badja_end_to_end(monkeypatch, tmp_path_factory):
     from pips_tpu.evals import run_badja
 
     root = make_badja_tree(tmp_path_factory.mktemp("badja"))
-    monkeypatch.setattr(run_badja, "Pips", tiny_pips)
+    monkeypatch.setattr(evals_common, "Pips", tiny_pips)
     out = run_badja.main(init_dir="random", data_dir=root, S=4, stride=8,
                          iters=1, max_iters=1, resize_hw=(64, 96))
     assert "avg" in out and np.isfinite(out["avg"])
@@ -55,7 +56,7 @@ def test_run_crohd_end_to_end(monkeypatch, tmp_path_factory):
     from pips_tpu.evals import run_crohd
 
     root = make_crohd_tree(tmp_path_factory.mktemp("ht21"))
-    monkeypatch.setattr(run_crohd, "Pips", tiny_pips)
+    monkeypatch.setattr(evals_common, "Pips", tiny_pips)
     logd = str(tmp_path_factory.mktemp("crohd_logs"))
     out = run_crohd.main(init_dir="random", dataset_root=root, S=8, stride=8,
                          N=4, iters=1, max_iters=2, req_occlusion=False,
@@ -165,7 +166,7 @@ def test_run_davis_end_to_end(monkeypatch, tmp_path_factory):
     from pips_tpu.evals import run_davis
 
     root = make_davis_tree(tmp_path_factory.mktemp("davis"))
-    monkeypatch.setattr(run_davis, "Pips", tiny_pips)
+    monkeypatch.setattr(evals_common, "Pips", tiny_pips)
     out = run_davis.main(init_dir="random", davis_dir=root, S=8, stride=8,
                          iters=1, chunk=16, resize_hw=(48, 96), max_videos=1,
                          point_stride=16)
@@ -179,7 +180,7 @@ def test_run_davis_single_call(monkeypatch, tmp_path_factory):
     from pips_tpu.evals import run_davis
 
     root = make_davis_tree(tmp_path_factory.mktemp("davis"))
-    monkeypatch.setattr(run_davis, "Pips", tiny_pips)
+    monkeypatch.setattr(evals_common, "Pips", tiny_pips)
     out = run_davis.main(init_dir="random", davis_dir=root, S=8, stride=8,
                          iters=1, chunk=0, resize_hw=(48, 96), max_videos=1,
                          point_stride=16)

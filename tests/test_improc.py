@@ -201,6 +201,8 @@ def test_frame_id_stamping(tmp_path, rng):
     assert strnum(3) == "3"
     assert strnum(4.57) == "4.57"
     assert strnum(0.25) == ".25"
+    assert strnum(-0.25) == "-.25"  # sign preserved (divergence from ref)
+    assert strnum(-3.2) == "-3.2"
 
     img = np.zeros((40, 80, 3), np.uint8)
     stamped = draw_frame_id_on_vis(img, 6.03)

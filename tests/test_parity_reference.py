@@ -270,7 +270,8 @@ def test_trained_weights_chaining_parity(inputs):
 
     sd = {k: v.detach().numpy() for k, v in model_t.state_dict().items()}
     params = {"params": convert_pips_state_dict(sd, mixer_depth=12)}
-    chain = ChainTracker(Pips(S=S, stride=8), params, iters=iters)
+    chain = ChainTracker(Pips(S=S, stride=8), params, iters=iters,
+                         record_starts=True)
     with jax.default_matmul_precision("highest"):
         trajs_j, _ = chain.track_video(clip, xys)
 
