@@ -209,27 +209,41 @@ def main(quick: bool = False):
             return jnp.sum(xys_f) + vs
         return bench_chain
 
-    def time_chain(chain_fn):
-        compiled = chain_fn.lower(params_i, xys_i, rgbs_i, jnp.float32(0.0),
+    def time_chain(chain_fn, xys, n_reps=None):
+        n_reps = reps if n_reps is None else n_reps
+        compiled = chain_fn.lower(params_i, xys, rgbs_i, jnp.float32(0.0),
                                   jnp.int32(1)).compile()
 
         def timed(n):
             n = jnp.int32(n)
             float(jax.device_get(
-                compiled(params_i, xys_i, rgbs_i, jnp.float32(0.0), n)))  # warm
+                compiled(params_i, xys, rgbs_i, jnp.float32(0.0), n)))  # warm
             return _min_of_3(lambda p, x, r, e: compiled(p, x, r, e, n),
-                             params_i, xys_i, rgbs_i)
+                             params_i, xys, rgbs_i)
         t_base = timed(1)
-        t_n = timed(reps + 1)
-        return max(t_n - t_base, 1e-9) / reps
+        t_n = timed(n_reps + 1)
+        return max(t_n - t_base, 1e-9) / n_reps
 
-    infer_time = time_chain(make_bench_chain(model_infer))
+    infer_time = time_chain(make_bench_chain(model_infer), xys_i)
     infer_tps = Ni * S / infer_time
 
-    infer_time_bf16 = time_chain(
-        make_bench_chain(Pips(S=S, stride=8, dtype=jnp.bfloat16,
-                              fuse_chanff=True)))
+    model_infer_bf16 = Pips(S=S, stride=8, dtype=jnp.bfloat16,
+                            fuse_chanff=True)
+    infer_time_bf16 = time_chain(make_bench_chain(model_infer_bf16), xys_i)
     infer_tps_bf16 = Ni * S / infer_time_bf16
+
+    # dense-grid serving probe (VERDICT r4 #7): the whole DAVIS-style grid in
+    # ONE device call — N=7680 points over the same 480x1024 window (the
+    # `run_davis --chunk 0` configuration, reference test_on_davis.py:111-129
+    # does this in chunks of 256). Same dependency-chain timing discipline;
+    # fewer reps (each rep is ~0.4 s of device time).
+    Nd = 7680 if not quick else 256
+    gx, gy = np.meshgrid(np.linspace(8, Wi - 8, 128 if not quick else 32),
+                         np.linspace(8, Hi - 8, Nd // (128 if not quick else 32)))
+    xys_d = jnp.asarray(np.stack([gx.ravel(), gy.ravel()], -1)[None], jnp.float32)
+    dense_time = time_chain(make_bench_chain(model_infer_bf16), xys_d,
+                            n_reps=3 if not quick else 2)
+    dense_tps = Nd * S / dense_time
 
     print(json.dumps({
         "metric": "train_points_frames_per_sec",
@@ -249,6 +263,9 @@ def main(quick: bool = False):
             "inference_window_time_s": round(infer_time, 4),
             "inference_bf16_points_frames_per_sec": round(infer_tps_bf16, 1),
             "inference_bf16_window_time_s": round(infer_time_bf16, 4),
+            "dense_grid_points_frames_per_sec": round(dense_tps, 1),
+            "dense_grid_window_time_s": round(dense_time, 4),
+            "dense_grid_n_points": Nd,
             "device": str(jax.devices()[0]),
         },
     }))

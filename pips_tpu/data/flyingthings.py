@@ -333,7 +333,11 @@ class FlyingThingsDataset:
         return rgbs, occs, masks, trajs, visibles, valids
 
     def getitem_helper(self, index: int):
-        rgb_dir, traj_dir, mask_dir, start_ind = self.samples[index]
+        # index may be VIRTUAL (>= len): the loader passes i + epoch*len so
+        # crops/augs/point-subsets re-randomize every epoch (the reference's
+        # torch loader draws fresh global randomness per epoch) while staying
+        # a pure function of (seed, index) — deterministic across workers.
+        rgb_dir, traj_dir, mask_dir, start_ind = self.samples[index % len(self.samples)]
         rng = np.random.RandomState((self.seed + index * 7919) % (1 << 31))
 
         trajs = np.load(os.path.join(traj_dir, f"trajs_at_{start_ind}.npz"),

@@ -81,7 +81,15 @@ def batch_iterator(dataset, batch_size: int, shuffle: bool = True, seed: int = 1
     def next_index() -> int:
         nonlocal order_idx
         if shuffle:
-            return int(rng.randint(0, len(dataset)))
+            # VIRTUAL index: i + salt*len. Datasets wrap for sample selection
+            # but seed their rng from the full value, so a small dataset seen
+            # for many epochs gets fresh crops/augs/point-subsets each visit
+            # (reference loader behavior) while the stream stays a pure
+            # function of `seed`. Sequential mode keeps plain wrapping so
+            # eval passes see each sample at its canonical index.
+            i = int(rng.randint(0, len(dataset)))
+            salt = int(rng.randint(0, 1 << 16))
+            return i + salt * len(dataset)
         i = order_idx % len(dataset)
         order_idx += 1
         return i

@@ -48,7 +48,9 @@ class PointOdysseyDataset:
 
     def getitem_helper(self, index: int):
         from PIL import Image
-        rgb_paths, ann_path, start = self.clips[index]
+        # virtual-index protocol (see flyingthings.getitem_helper): sample
+        # selection wraps, augs re-randomize with the epoch component.
+        rgb_paths, ann_path, start = self.clips[index % len(self.clips)]
         rng = np.random.RandomState((self.seed + index * 104729) % (1 << 31))
 
         ann = np.load(ann_path, allow_pickle=True)

@@ -24,13 +24,19 @@ from pips_tpu.inference.window import dense_queries
 def main(init_dir: str = "checkpoints/ref", davis_dir: str = "/data/davis",
          S: int = 8, stride: int = 8, iters: int = 6, chunk: int = 256,
          resize_hw=(480, 1024), max_videos: int = 20, point_stride: int = 8,
-         out_dir: str = "", dtype: str = "float32"):
+         out_dir: str = "", dtype: str = "float32", mesh: str = ""):
     """``--chunk 0`` tracks the WHOLE dense grid in one jitted call — the
     TPU-native mode (0.38 s/video vs ~2 s chunked at 480x1024/8 on v5e;
     points are independent, so there is no reason to chunk on-chip other
     than matching the reference's GPU-memory workaround,
-    ``test_on_davis.py:111``). chunk>0 keeps the reference-style loop."""
+    ``test_on_davis.py:111``). chunk>0 keeps the reference-style loop.
+
+    ``--mesh auto`` (or ``--mesh D,P``) shards the query points over the
+    device mesh — the multi-chip serving path (replaces the reference's
+    DataParallel, ``train.py:254``); best combined with ``--chunk 0``."""
     from pips_tpu.evals.common import make_pips
+    from pips_tpu.inference.window import WindowTracker
+    from pips_tpu.parallel.mesh import parse_mesh_arg
     model = make_pips(S=S, stride=stride, dtype=dtype)
     params = load_params(model, init_dir)
 
@@ -38,11 +44,8 @@ def main(init_dir: str = "checkpoints/ref", davis_dir: str = "/data/davis",
     if not video_dirs:
         raise FileNotFoundError(f"no DAVIS videos under {davis_dir}")
 
-    @jax.jit
-    def fwd(params, xys, rgbs):
-        out = model.apply(params, xys, rgbs, iters=iters, is_train=False,
-                          corr_mode="onehot")
-        return out.coord_predictions[-1], out.vis_e
+    tracker = WindowTracker(model, params, iters=iters, corr_mode="onehot",
+                            mesh=parse_mesh_arg(mesh))
 
     import imageio.v2 as imageio
     H_, W_ = resize_hw
@@ -64,12 +67,10 @@ def main(init_dir: str = "checkpoints/ref", davis_dir: str = "/data/davis",
             if len(xy0) < eff_chunk:  # pad to fixed shape
                 xy0 = np.concatenate([xy0, np.repeat(xy0[-1:], eff_chunk - len(xy0), 0)])
             ts = time.time()
-            tr, vi = fwd(params, jnp.asarray(xy0[None], jnp.float32),
-                         jnp.asarray(rgbs, jnp.float32))
-            tr.block_until_ready()
+            tr, vi = tracker(xy0[None], rgbs)  # np out (forces completion)
             step_times.append(time.time() - ts)
-            trajs.append(np.asarray(tr))
-            viss.append(np.asarray(vi))
+            trajs.append(tr)
+            viss.append(vi)
         full_time = time.time() - t0
         tps = len(xy) / full_time
         all_tps.append(tps)
@@ -87,7 +88,10 @@ def main(init_dir: str = "checkpoints/ref", davis_dir: str = "/data/davis",
             write_gif(os.path.join(out_dir, f"{os.path.basename(vd)}.gif"),
                       list(frames), fps=8)
     print(f"mean TPS over {len(all_tps)} videos: {np.mean(all_tps):.0f}")
-    return {"mean_tps": float(np.mean(all_tps))}
+    # last video's dense trajectories (S, N, 2): lets callers/tests check the
+    # actual tracks (e.g. mesh-sharded == single-device), ~0.5 MB at 7680 pts
+    last_trajs = np.concatenate(trajs, axis=2)[0, :, :len(xy)]
+    return {"mean_tps": float(np.mean(all_tps)), "trajs": last_trajs}
 
 
 if __name__ == "__main__":

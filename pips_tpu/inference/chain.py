@@ -78,7 +78,8 @@ class ChainTracker:
 
     def __init__(self, model: Pips, params, iters: int = 6, capacity: int = 256,
                  corr_mode: str = "onehot", encode_chunk: int = 8,
-                 select_fn=None, S: int = 0, record_starts: bool = False):
+                 select_fn=None, S: int = 0, record_starts: bool = False,
+                 mesh=None):
         self.model = model
         # per-point window-start telemetry (parity tests pin it against the
         # reference loop's cur_frame sequence); off by default — the append
@@ -90,8 +91,11 @@ class ChainTracker:
         self.capacity = capacity
         self.encode_chunk = encode_chunk
         self.select_fn = select_fn or select_skip
+        # mesh: shard every window's points over the device mesh (and the
+        # encoder over frames) — dense-grid chaining scales across chips
+        # with zero cross-point collectives; see WindowTracker.__init__
         self.tracker = WindowTracker(model, params, iters=iters,
-                                     corr_mode=corr_mode)
+                                     corr_mode=corr_mode, mesh=mesh)
 
     def encode_video(self, rgbs) -> jnp.ndarray:
         """rgbs: (T, H, W, 3) array or a ``FrameFeed`` -> fmaps (T, H8, W8, C).

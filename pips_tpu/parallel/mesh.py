@@ -98,6 +98,22 @@ def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def parse_mesh_arg(arg: str) -> Optional[Mesh]:
+    """CLI ``--mesh`` string -> Mesh (eval runners / chain engines).
+
+    "" -> None (single-device path, no mesh); "auto" -> all devices on the
+    point axis (the right layout for inference: every chip tracks a slice
+    of the points); "D,P" -> explicit (data, point) shape, e.g. "1,8".
+    """
+    if not arg:
+        return None
+    if arg == "auto":
+        return make_mesh((1, len(jax.devices())))
+    shape = tuple(int(v) for v in arg.strip("()[] ").split(",") if v)
+    assert len(shape) == 2, f"--mesh wants 'D,P', got {arg!r}"
+    return make_mesh(shape)
+
+
 def batch_pspecs(grad_acc: int = 1) -> dict[str, P]:
     """PartitionSpecs for a train batch: B on data, N on point."""
     lead = (None,) * (1 if grad_acc > 1 else 0)

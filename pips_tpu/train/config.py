@@ -64,6 +64,9 @@ class TrainConfig:
     save_freq: int = 1000
     keep_latest: int = 1
     init_dir: str = ""
+    auto_resume: bool = True  # resume from this run's own latest checkpoint
+                              # (full state + step) when one exists and no
+                              # explicit init_dir is given
     load_optimizer: bool = False
     load_step: bool = False
     ignore_load: Optional[str] = None

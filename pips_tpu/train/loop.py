@@ -133,7 +133,16 @@ def train(cfg: Optional[TrainConfig] = None) -> dict:
 
     ckpt_dir = f"{cfg.ckpt_dir}/{name}"
     global_step = 0
-    if cfg.init_dir:
+    if cfg.auto_resume and not cfg.init_dir and saverloader.list_steps(ckpt_dir):
+        # auto-resume: a killed/preempted run relaunched with the SAME config
+        # picks up its own latest checkpoint — full state (params+optimizer)
+        # and step counter. (The reference requires an explicit
+        # --init_dir/--load_optimizer/--load_step relaunch, train.py:263-268;
+        # on preemptible TPU pods resume must not depend on operator flags.)
+        state, global_step = saverloader.load(ckpt_dir, state)
+        if jax.process_index() == 0:
+            print(f"auto-resumed from {ckpt_dir} at step {global_step}")
+    elif cfg.init_dir:
         target = state if cfg.load_optimizer else state.params
         restored, step = saverloader.load(cfg.init_dir, target,
                                           ignore_load=cfg.ignore_load)

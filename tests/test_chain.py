@@ -186,3 +186,24 @@ def test_on_device_chain_matches_host(video_setup):
     np.testing.assert_allclose(dt_, ht, atol=0.5)
     np.testing.assert_allclose(dt_[:4], ht[:4], atol=1e-2)  # first window tight
     np.testing.assert_allclose(dv_, hv, atol=0.05)
+
+
+def test_chain_benchmark_harness():
+    """tools/chain_benchmark (VERDICT r4 #5): exact-gt long clips through the
+    full chain -> ATE + window telemetry plumbing, tiny model."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from tools.chain_benchmark import eval_weights
+    from tools.make_synth_flt import make_long_clip
+
+    rgbs, tg, vg = make_long_clip(T=12, H=96, W=128, N=16, seed=1)
+    assert vg[0].all() and (vg == 0).any()  # frame-0 visible, gaps exist
+
+    model = Pips(**TINY)
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 4, 2)),
+                        jnp.zeros((1, 4, 48, 64, 3)), iters=1)
+    out = eval_weights(params, model, [(rgbs, tg, vg)], iters=1, capacity=16)
+    assert np.isfinite(out["ate_all"]) and out["ate_all"] > 0
+    assert out["ate_occ"] > 0 and out["ate_vis"] > 0
+    assert out["windows_per_point"] >= 2  # T=12 needs chaining past window 1
+    assert sum(out["skip_hist"].values()) > 0

@@ -207,3 +207,59 @@ def test_sharded_forward_bf16_fused_points_axis():
                  - np.asarray(out.coord_predictions[-1], np.float32))
     assert np.median(err) < 0.05, np.median(err)
     assert err.max() < 1.0, err.max()
+
+
+def test_mesh_window_tracker_matches_single_device():
+    """WindowTracker(mesh=...) — the serving-path sharding (run_davis --mesh,
+    chain engines) — matches the single-device tracker."""
+    from pips_tpu.inference.window import WindowTracker
+
+    model = Pips(**TINY)
+    state = _state(model, N=16)
+    rng = np.random.RandomState(0)
+    rgbs = (rng.rand(1, 4, 48, 64, 3) * 255).astype(np.float32)
+    xys = (rng.rand(1, 16, 2) * [56, 40] + 4).astype(np.float32)
+
+    single = WindowTracker(model, state.params, iters=2)
+    sharded = WindowTracker(model, state.params, iters=2,
+                            mesh=make_mesh((1, 8)))
+    t1, v1 = single(xys, rgbs)
+    t2, v2 = sharded(xys, rgbs)
+    assert np.isfinite(t2).all()
+    # chaos policy (docs/TESTING.md): sharded matmul partitioning shifts
+    # reductions by ulps; after 2 refinement iters through floor() corr
+    # lookups that is O(1e-3) px with untrained weights
+    np.testing.assert_allclose(t1, t2, atol=5e-3)
+    np.testing.assert_allclose(v1, v2, atol=5e-3)
+
+
+def test_mesh_chain_tracker_matches_single_device():
+    """ChainTracker(mesh=...): same trajectories as the single-device engine.
+    Skip rule pinned (fixed_skip) so window schedules can't diverge through
+    untrained-weight vis noise (docs/TESTING.md determinism injection)."""
+    from pips_tpu.inference.chain import ChainTracker
+
+    def fixed_skip(vis, S):
+        return np.full(vis.shape[0], 3, np.int64)
+
+    model = Pips(**TINY)
+    state = _state(model, N=16)
+    rng = np.random.RandomState(2)
+    vid = (rng.rand(10, 48, 64, 3) * 255).astype(np.float32)
+    q = (rng.rand(16, 2) * [56, 40] + 4).astype(np.float32)
+
+    host = ChainTracker(model, state.params, iters=2, capacity=16,
+                        select_fn=fixed_skip)
+    meshed = ChainTracker(model, state.params, iters=2, capacity=16,
+                          select_fn=fixed_skip, mesh=make_mesh((1, 8)))
+    tr1, vi1 = host.track_video(vid, q)
+    tr2, vi2 = meshed.track_video(vid, q)
+    assert np.isfinite(tr2).all()
+    # same tolerance convention as the host-vs-on-device chain parity test
+    # (test_chain.py): chained windows re-query through floor() corr lookups,
+    # compounding ulp-level partitioning noise; window 1 must stay tight
+    np.testing.assert_allclose(tr1[:4], tr2[:4], atol=1e-2)
+    np.testing.assert_allclose(tr1, tr2, atol=0.5)
+    # vis sits downstream of the chained coords: an O(0.3 px) late-window
+    # coordinate split moves a sigmoid through its steep region
+    np.testing.assert_allclose(vi1, vi2, atol=0.15)

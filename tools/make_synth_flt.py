@@ -96,6 +96,105 @@ def make_video(root, dset, sub, vid, H=400, W=520, n_frames=10, seed=0):
             fb_dir, f"OpticalFlowIntoPast_{fr:04d}_L.pfm"), fb)
 
 
+def make_long_clip(T=40, H=368, W=496, N=256, seed=0, max_gap=6):
+    """Long chaining-regime clip with EXACT ground truth (VERDICT r4 #5).
+
+    A panning textured background, a few slow textured rects, plus thin FAST
+    occluder bars whose sweeps create 1..max_gap-frame occlusion gaps — the
+    regime BADJA/CroHD accuracy actually comes from (the reference chains
+    8-frame windows through occlusions, ``test_on_badja.py:64-113``).
+
+    All motion is integer-rounded exactly as rendered, so gt trajectories
+    and per-frame visibility are exact by construction. Returns
+    (rgbs (T,H,W,3) float32, trajs_g (T,N,2), vis_g (T,N)); every returned
+    point is visible at frame 0 and stays in-bounds for all T; roughly half
+    the points experience at least one occlusion gap.
+    """
+    rng = np.random.RandomState(seed)
+    M = 40  # bg margin: bg pan stays inside
+    bg = _texture(rng, H + 2 * M, W + 2 * M)
+    bgv = rng.uniform(-1.2, 1.2, 2)
+
+    objs = []  # slow scene rects (trackable bodies)
+    for _ in range(rng.randint(3, 6)):
+        ow, oh = rng.randint(60, 140), rng.randint(60, 140)
+        objs.append(dict(tex=_texture(rng, oh, ow),
+                         xy=np.array([rng.uniform(0, W - ow), rng.uniform(0, H - oh)]),
+                         v=rng.uniform(-2.5, 2.5, 2), wh=(ow, oh)))
+    # fast thin occluder bars: width w at |vx| px/frame occludes a static
+    # point for ~w/|vx| frames — sized for gaps <= max_gap
+    for _ in range(rng.randint(4, 7)):
+        vert = rng.rand() < 0.5
+        speed = rng.uniform(6, 10) * rng.choice([-1, 1])
+        gap = rng.randint(2, max_gap + 1)
+        w = max(int(abs(speed) * gap), 12)
+        if vert:  # vertical bar sweeping horizontally
+            ow, oh = w, rng.randint(H // 2, H)
+            v = np.array([speed, rng.uniform(-1, 1)])
+            x0 = -ow if speed > 0 else W
+            xy = np.array([x0 - speed * rng.uniform(0, T / 2),
+                           rng.uniform(0, H - oh)])
+        else:
+            ow, oh = rng.randint(W // 2, W), w
+            v = np.array([rng.uniform(-1, 1), speed])
+            y0 = -oh if speed > 0 else H
+            xy = np.array([rng.uniform(0, W - ow),
+                           y0 - speed * rng.uniform(0, T / 2)])
+        objs.append(dict(tex=_texture(rng, oh, ow), xy=xy, v=v, wh=(ow, oh)))
+
+    rgbs = np.empty((T, H, W, 3), np.float32)
+    owner = np.empty((T, H, W), np.int16)
+    shifts = np.empty((T, 2), np.int32)      # rendered bg shift per frame
+    obj_pos = np.empty((T, len(objs), 2), np.int32)  # rendered rect corners
+    for fr in range(T):
+        ix, iy = int(round(M + bgv[0] * fr)), int(round(M + bgv[1] * fr))
+        shifts[fr] = (ix, iy)
+        img = bg[iy:iy + H, ix:ix + W].copy()
+        own = np.full((H, W), -1, np.int16)
+        for k, o in enumerate(objs):
+            x = int(round(o["xy"][0] + o["v"][0] * fr))
+            y = int(round(o["xy"][1] + o["v"][1] * fr))
+            obj_pos[fr, k] = (x, y)
+            ow, oh = o["wh"]
+            x0, y0 = max(x, 0), max(y, 0)
+            x1, y1 = min(x + ow, W), min(y + oh, H)
+            if x1 <= x0 or y1 <= y0:
+                continue
+            img[y0:y1, x0:x1] = o["tex"][y0 - y:y1 - y, x0 - x:x1 - x]
+            own[y0:y1, x0:x1] = k
+        rgbs[fr] = img
+        owner[fr] = own
+
+    # candidate pool: dense grid, owner at frame 0 decides attachment
+    gy, gx = np.meshgrid(np.arange(8, H - 8, 4), np.arange(8, W - 8, 4),
+                         indexing="ij")
+    cand = np.stack([gx.ravel(), gy.ravel()], 1).astype(np.float32)  # (P,2) xy
+    own0 = owner[0, cand[:, 1].astype(int), cand[:, 0].astype(int)]
+
+    P = len(cand)
+    trajs = np.empty((T, P, 2), np.float32)
+    for fr in range(T):
+        d_bg = (shifts[0] - shifts[fr]).astype(np.float32)   # bg moves -shift
+        d_ob = (obj_pos[fr] - obj_pos[0]).astype(np.float32)  # (K,2)
+        delta = np.where((own0 >= 0)[:, None], d_ob[np.maximum(own0, 0)], d_bg)
+        trajs[fr] = cand + delta
+    inb = ((trajs[..., 0] >= 0) & (trajs[..., 0] <= W - 1)
+           & (trajs[..., 1] >= 0) & (trajs[..., 1] <= H - 1)).all(0)
+    xr = np.clip(np.round(trajs[..., 0]).astype(int), 0, W - 1)
+    yr = np.clip(np.round(trajs[..., 1]).astype(int), 0, H - 1)
+    vis = (owner[np.arange(T)[:, None], yr, xr] == own0[None]).astype(np.float32)
+
+    keep = inb & (vis[0] > 0)
+    cand_i = np.flatnonzero(keep)
+    gaps = (vis[:, cand_i] == 0).any(0)
+    occd, alw = cand_i[gaps], cand_i[~gaps]
+    rng.shuffle(occd), rng.shuffle(alw)
+    n_occ = min(len(occd), N // 2)
+    pick = np.concatenate([occd[:n_occ], alw[:N - n_occ]])[:N]
+    assert len(pick) == N, f"only {len(pick)} valid candidates for N={N}"
+    return rgbs, trajs[:, pick], vis[:, pick]
+
+
 def main(root="/tmp/flt_synth", n_train=24, n_test=8, H=400, W=520,
          n_frames=10, datagen=True):
     from pips_tpu.datagen.run import main as datagen_main
