@@ -111,7 +111,7 @@ def make_long_clip(T=40, H=368, W=496, N=256, seed=0, max_gap=6):
     the points experience at least one occlusion gap.
     """
     rng = np.random.RandomState(seed)
-    M = 40  # bg margin: bg pan stays inside
+    M = int(np.ceil(1.2 * T)) + 2  # bg margin: covers max |bgv|*T pan
     bg = _texture(rng, H + 2 * M, W + 2 * M)
     bgv = rng.uniform(-1.2, 1.2, 2)
 
@@ -189,8 +189,10 @@ def make_long_clip(T=40, H=368, W=496, N=256, seed=0, max_gap=6):
     gaps = (vis[:, cand_i] == 0).any(0)
     occd, alw = cand_i[gaps], cand_i[~gaps]
     rng.shuffle(occd), rng.shuffle(alw)
+    # half occluded / half always-visible, backfilling from whichever pool
+    # has spare when the other runs short (tiny test frames)
     n_occ = min(len(occd), N // 2)
-    pick = np.concatenate([occd[:n_occ], alw[:N - n_occ]])[:N]
+    pick = np.concatenate([occd[:n_occ], alw, occd[n_occ:]])[:N]
     assert len(pick) == N, f"only {len(pick)} valid candidates for N={N}"
     return rgbs, trajs[:, pick], vis[:, pick]
 
