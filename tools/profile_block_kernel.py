@@ -12,6 +12,31 @@ previous output), scalar readback, perturbed inputs, min-of-3, both chain
 lengths warmed — the CLAUDE.md discipline.
 
     PYTHONPATH=/root/.axon_site:/root/repo python tools/profile_block_kernel.py
+
+VERDICT (measured r5, one v5e chip, B=8 192x256 64ch bf16):
+
+    fwd:      xla 1442us (40.2 TF/s)   kernel 1364us (42.5 TF/s)  1.06x
+    fwd+bwd:  xla 2724us (63.9 TF/s)   kernel 3439us (50.6 TF/s)  0.79x
+
+NEGATIVE for training; default-off. Why, quantitatively:
+
+  * The relayout tax lives on the FORWARD IN/relu->conv edges only. XLA's
+    own backward chains dgrad->wgrad with no normalization edges between
+    convs and runs them at ~320us/conv — 2.2x faster than its forward's
+    ~721us/conv. Killing the fwd edge (this kernel's whole premise) buys
+    just 6% at stage-1 shapes because the r3 whole-stage s2d already
+    mitigated stage-1; the r4 trace's remaining ~4.7ms of copies sits at
+    the 96/128-ch stages whose s2d channel dims (192/256) exceed the
+    128-lane tile this kernel packs for.
+  * The hand backward pays the custom-VJP boundary four ways: two Pallas
+    dgrads that merely match XLA's, XLA s2d wgrads that XLA also has, and
+    ~6 unfused elementwise/reduce HBM passes (yh1 recompute, two IN
+    backwards with their means, the residual tail) that XLA fuses into
+    its conv epilogues — 2075us vs XLA's 1282us for the same math.
+
+Same conclusion family as kernels/stem_wgrad_pallas.py: reshape layouts so
+the standard conv is well-shaped (the s2d/unfold rewrites) beats replacing
+XLA's conv pipeline wholesale once autodiff is in the picture.
 """
 
 import sys
