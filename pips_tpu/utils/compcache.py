@@ -52,6 +52,13 @@ def maybe_enable_compilation_cache() -> str | None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
         jax.config.update("jax_raise_persistent_cache_errors", False)
+        # jax's default enables the GPU per-fusion autotune cache, whose
+        # ABSOLUTE PATH (under cache_dir) is serialized into debug_options
+        # and thus into every cache KEY — entries become unreadable from any
+        # other cache location or checkout path (r5 lesson: one byte of
+        # '/tmp/x' vs '.jax_cache' missed 100% of the committed bench
+        # cache). GPU-only feature; disable for path-independent keys.
+        jax.config.update("jax_persistent_cache_enable_xla_caches", "")
         _enabled = True
         return cache_dir
     except Exception as e:  # pragma: no cover - config names are stable

@@ -141,6 +141,40 @@ def test_compilation_cache_opt_in(tmp_path, monkeypatch):
     assert cc.maybe_enable_compilation_cache() == cache_dir
 
 
+def test_compilation_cache_keys_are_path_independent(tmp_path):
+    """Cache keys must not depend on the cache dir's location, or committed
+    entries are unreadable from any other checkout/scratch path (r5: jax's
+    default enables the GPU per-fusion autotune cache, which serializes the
+    ABSOLUTE cache dir into debug_options -> into every key; one such run
+    missed 100% of the committed bench cache). Two fresh processes caching
+    the same computation at different dirs must produce identical keys."""
+    import os
+    import subprocess
+    import sys
+
+    prog = (
+        "import os; os.environ['PIPS_JAX_CACHE'] = os.environ['_CDIR']\n"
+        "from pips_tpu.utils.compcache import maybe_enable_compilation_cache\n"
+        "maybe_enable_compilation_cache()\n"
+        "import jax, jax.numpy as jnp\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "jax.jit(lambda x: jnp.sin(x) @ x.T)(jnp.ones((64, 64)))"
+        ".block_until_ready()\n"
+    )
+    names = []
+    for sub in ("a", "deeper/nested/b"):
+        cdir = tmp_path / sub
+        cdir.mkdir(parents=True)
+        env = dict(os.environ, _CDIR=str(cdir), JAX_PLATFORMS="cpu")
+        subprocess.run([sys.executable, "-c", prog], check=True, env=env,
+                       cwd=os.path.dirname(os.path.dirname(__file__)))
+        entries = sorted(p.name for p in cdir.iterdir())
+        assert entries, f"no cache entries written under {cdir}"
+        names.append(entries)
+    assert names[0] == names[1], (
+        f"cache keys depend on the cache dir path:\n{names[0]}\nvs\n{names[1]}")
+
+
 def test_resolve_dtype_wiring():
     """cfg.dtype reaches the model (regression: it was a dead flag)."""
     from pips_tpu.train.config import TrainConfig
