@@ -100,19 +100,26 @@ def batch_iterator(dataset, batch_size: int, shuffle: bool = True, seed: int = 1
 
     submit_fn = _proc_fetch if use_processes else fetch
 
-    while True:
-        samples = []
-        while len(samples) < eff_batch:
-            while len(inflight) < depth:
-                inflight.append(pool.submit(submit_fn, next_index()))
-            s = inflight.popleft().result()
-            if s is not None:
-                samples.append(s)
-        batch = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
-        if grad_acc > 1:
-            batch = {k: v.reshape(grad_acc, batch_size, *v.shape[1:])
-                     for k, v in batch.items()}
-        yield batch
+    try:
+        while True:
+            samples = []
+            while len(samples) < eff_batch:
+                while len(inflight) < depth:
+                    inflight.append(pool.submit(submit_fn, next_index()))
+                s = inflight.popleft().result()
+                if s is not None:
+                    samples.append(s)
+            batch = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+            if grad_acc > 1:
+                batch = {k: v.reshape(grad_acc, batch_size, *v.shape[1:])
+                         for k, v in batch.items()}
+            yield batch
+    finally:
+        # generator .close() (GeneratorExit at the yield) lands here: tear the
+        # worker pool down so in-flight decode work stops stealing cores from
+        # whatever runs next (e.g. the next sweep point in
+        # tools/profile_loader_scaling.py)
+        pool.shutdown(wait=False, cancel_futures=True)
 
 
 class DevicePrefetcher:
@@ -150,3 +157,14 @@ class DevicePrefetcher:
 
     def close(self):
         self._stop.set()
+        # a worker blocked on a full queue can't observe the stop flag —
+        # drain so it unblocks, then close the source iterator so its
+        # finally-block (worker-pool shutdown) runs
+        try:
+            while True:
+                self.q.get_nowait()
+        except queue.Empty:
+            pass
+        self.thread.join(timeout=5)
+        if not self.thread.is_alive() and hasattr(self.it, "close"):
+            self.it.close()

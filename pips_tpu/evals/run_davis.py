@@ -50,6 +50,7 @@ def main(init_dir: str = "checkpoints/ref", davis_dir: str = "/data/davis",
     import imageio.v2 as imageio
     H_, W_ = resize_hw
     all_tps = []
+    last_trajs = None
     for vd in video_dirs[:max_videos]:
         frames = sorted(glob.glob(os.path.join(vd, "*.jpg")))[:S]
         if len(frames) < S:
@@ -74,23 +75,26 @@ def main(init_dir: str = "checkpoints/ref", davis_dir: str = "/data/davis",
         full_time = time.time() - t0
         tps = len(xy) / full_time
         all_tps.append(tps)
+        # last video's dense trajectories (S, N, 2): lets callers/tests check
+        # the actual tracks (e.g. mesh-sharded == single-device), ~0.5 MB at
+        # 7680 pts; also reused for the GIF below
+        last_trajs = np.concatenate(trajs, axis=2)[0, :, :len(xy)]
         print(f"{os.path.basename(vd)}: full_time {full_time:.2f}s; "
               f"step {np.mean(step_times):.3f}s; TPS {tps:.0f}")
         if out_dir:  # GIF dump (reference test_on_davis.py writes summaries)
             from pips_tpu.utils.improc import draw_trajs_on_rgbs2, write_gif
             os.makedirs(out_dir, exist_ok=True)
-            trajs_np = np.concatenate(trajs, axis=2)[0, :, :len(xy)]  # (S,N,2)
             vis_np = 1.0 / (1.0 + np.exp(-np.concatenate(viss, axis=2)[0, :, :len(xy)]))
             sub = slice(0, None, 16)  # thin the dense grid for drawing
             frames = draw_trajs_on_rgbs2(
                 np.clip(rgbs[0], 0, 255).astype(np.uint8),
-                trajs_np[:, sub], vis_np[:, sub])
+                last_trajs[:, sub], vis_np[:, sub])
             write_gif(os.path.join(out_dir, f"{os.path.basename(vd)}.gif"),
                       list(frames), fps=8)
+    if not all_tps:
+        raise FileNotFoundError(
+            f"no video under {davis_dir} has >= {S} frames")
     print(f"mean TPS over {len(all_tps)} videos: {np.mean(all_tps):.0f}")
-    # last video's dense trajectories (S, N, 2): lets callers/tests check the
-    # actual tracks (e.g. mesh-sharded == single-device), ~0.5 MB at 7680 pts
-    last_trajs = np.concatenate(trajs, axis=2)[0, :, :len(xy)]
     return {"mean_tps": float(np.mean(all_tps)), "trajs": last_trajs}
 
 

@@ -61,8 +61,11 @@ def distributed_init(coordinator: Optional[str] = None,
 
     On TPU pod slices all arguments are auto-detected from the environment;
     pass them explicitly for manual launches (e.g. the 2-process CPU test).
-    Safe to call once per process, before any other JAX call.
+    Safe to call once per process, before any other JAX call; a repeat call
+    (e.g. ``train()`` invoked from a process that already joined) is a no-op.
     """
+    if jax.distributed.is_initialized():
+        return
     kwargs = {}
     if coordinator:
         kwargs["coordinator_address"] = coordinator

@@ -153,6 +153,25 @@ def train(cfg: Optional[TrainConfig] = None) -> dict:
         if cfg.load_step:
             global_step = step
 
+    if jax.process_count() > 1:
+        # Checkpoints are written by process 0 only, so every host must see
+        # the same ckpt_dir (shared filesystem) to resume from the same step.
+        # A divergent resume would silently mix restored and fresh params and
+        # run different trip counts through the step loop (deadlocking at the
+        # final steps' collectives) — fail loudly instead.
+        from jax.experimental import multihost_utils
+        steps = np.asarray(
+            multihost_utils.process_allgather(np.int32(global_step))).ravel()
+        if int(steps.min()) != int(steps.max()):
+            raise RuntimeError(
+                "auto-resume divergence: processes found checkpoint steps "
+                f"{sorted(set(int(s) for s in steps))}; ckpt_dir must be a "
+                "filesystem shared by all hosts")
+    if global_step >= cfg.max_iters and is_main:
+        print(f"{ckpt_dir} is already at step {global_step} >= "
+              f"max_iters={cfg.max_iters}; nothing to train "
+              f"(pass --auto_resume false or a new --exp_name to start fresh)")
+
     state = jax.device_put(state, replicate(mesh))
 
     step_fn = make_sharded_train_step(

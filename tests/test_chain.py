@@ -191,8 +191,11 @@ def test_on_device_chain_matches_host(video_setup):
 def test_chain_benchmark_harness():
     """tools/chain_benchmark (VERDICT r4 #5): exact-gt long clips through the
     full chain -> ATE + window telemetry plumbing, tiny model."""
+    import os
     import sys
-    sys.path.insert(0, "/root/repo")
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo_root not in sys.path:
+        sys.path.insert(0, repo_root)
     from tools.chain_benchmark import eval_weights
     from tools.make_synth_flt import make_long_clip
 

@@ -279,3 +279,53 @@ def test_two_process_loader_decorrelation_and_assembly():
         assert float(r["mine"]) == 0.0, (pid, r)    # my slice landed in my row
         assert float(r["theirs"]) == 0.0, (pid, r)  # other host's in its row
         assert float(r["differ"]) > 1.0, (pid, r)   # seeds actually decorrelate
+
+
+# ---------------------------------------------------------------------------
+# full train() entry, 2 processes: the real CLI path (distributed_init from
+# cfg, hybrid mesh, per-host loaders, is_main-gated checkpointing) for two
+# steps, then a relaunch with per-pid ckpt dirs — the preempted-pod scenario
+# WITHOUT a shared checkpoint filesystem. Only process 0 saved, so the
+# relaunch finds divergent resume steps and train() must refuse loudly
+# (silently mixing restored and fresh params corrupts training and the
+# differing trip counts deadlock the final steps' collectives).
+CHILD_TRAIN = textwrap.dedent("""
+    import os, sys
+    pid, port, base = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    from pips_tpu.train.config import TrainConfig
+    from pips_tpu.train.loop import train
+
+    cfg = TrainConfig(
+        exp_name="mh", B=1, S=4, N=8, I=1, crop_size=(48, 64),
+        latent_dim=16, corr_levels=3, corr_radius=2, mixer_dim=32,
+        mixer_depth=2, dataset="synthetic", use_augs=False,
+        horz_flip=False, vert_flip=False,
+        max_iters=2, metrics_every=1, log_freq=100, log_media=False,
+        val_freq=0, save_freq=1, keep_latest=2, num_workers=1,
+        ckpt_dir=f"{base}/ckpt_p{pid}",   # per-pid dir = NON-shared fs
+        log_dir=f"{base}/logs_p{pid}",
+        multihost=True, coordinator=f"localhost:{port}",
+        num_processes=2, process_id=pid, mesh_shape=(1, 2),
+        dtype="float32", use_scheduler=False)
+    m = train(cfg)  # 2 steps; process 0 saves ckpts into ITS dir only
+    loss = m.get("total_loss", -1.0)  # last_metrics is main-process-only
+
+    try:
+        train(cfg)
+        guard = "missed"
+    except RuntimeError as e:
+        guard = "caught" if "auto-resume divergence" in str(e) else "other"
+    print(f"RESULT pid={pid} loss={loss:.6f} guard={guard}", flush=True)
+""")
+
+
+def test_two_process_train_entry_and_resume_divergence_guard(tmp_path):
+    results = _run_children(CHILD_TRAIN, extra_args=(str(tmp_path),))
+    assert results[0]["guard"] == "caught", results
+    assert results[1]["guard"] == "caught", results
+    assert float(results[0]["loss"]) > 0, results
