@@ -22,7 +22,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from pips_tpu.ops.resize import resize_bilinear_align_corners
+from pips_tpu.ops.resize import (resize_bilinear_align_corners,
+                                 resize_bilinear_align_corners_s2d)
 
 # matches torch kaiming_normal_(mode='fan_out', nonlinearity='relu')
 kaiming_out = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
@@ -248,6 +249,34 @@ class Conv(nn.Module):
         )(x)
 
 
+def _stem_s2d_kernel(k7: jnp.ndarray) -> jnp.ndarray:
+    """(4, 14C, O) row-tap-unfolded stem kernel -> (1, 3, 28C, 2O) kernel
+    producing the W-s2d OUTPUT layout directly (output col pair 2p+a packed
+    at channel a*O+o).
+
+    Output col q = 2p+a of the (1,4) unfolded conv reads x7 cols q..q+3;
+    the pair therefore reads x7 cols 2p+u, u in [0, 5) — i.e. s2d-of-x7
+    cols p+du at phase bu (u = 2*du + bu), a (1,3) conv with C_in doubled:
+        K[0, du, bu*14C + j, a*O + o] = k7[2*du + bu - a, j, o]
+    (structural zero outside 0 <= 2du+bu-a < 4). Same MACs per useful
+    output; fewer XLA per-tap passes (3 vs 4) at twice the lane fill, and
+    the stem -> stage-1 s2d boundary relayout never exists.
+    """
+    taps, Cin, O = k7.shape
+    z = jnp.zeros_like(k7[0])
+    blocks = []
+    for du in range(3):
+        rows = []
+        for bu in range(2):
+            cols = []
+            for a in range(2):
+                kx = 2 * du + bu - a
+                cols.append(k7[kx] if 0 <= kx < taps else z)
+            rows.append(jnp.concatenate(cols, axis=-1))  # (14C, 2O)
+        blocks.append(jnp.concatenate(rows, axis=0))     # (28C, 2O)
+    return jnp.stack(blocks, axis=0)[None]               # (1, 3, 28C, 2O)
+
+
 class _StemInner(nn.Module):
     """7x7 stride-2 pad-3 conv; space-to-depth in f32, W-only s2d in bf16.
 
@@ -264,6 +293,8 @@ class _StemInner(nn.Module):
     """
     features: int
     dtype: Any = None
+    emit_s2d: bool = False  # bf16: return the (B, H/2, W/4, 2*features)
+                            # W-s2d view of the output (requires W % 4 == 0)
 
     @nn.compact
     def __call__(self, x):
@@ -275,6 +306,9 @@ class _StemInner(nn.Module):
         k = kernel.astype(dt)
 
         B, H, W, _ = x.shape
+        if self.emit_s2d:
+            assert dt == jnp.bfloat16 and H % 2 == 0 and W % 4 == 0, \
+                "emit_s2d requires the bf16 row-tap path and W % 4 == 0"
         if H % 2 or W % 2:
             y = jax.lax.conv_general_dilated(
                 x, k, (2, 2), ((3, 3), (3, 3)),
@@ -304,9 +338,24 @@ class _StemInner(nn.Module):
             x7 = jnp.concatenate(
                 [x2[:, ky:ky + 2 * Ho:2] for ky in range(7)], axis=-1)
             # k7[0, kx, ky*2C+c, o] = k2[ky, kx, c, o]
-            k7 = k2.transpose(1, 0, 2, 3).reshape(4, 14 * C, self.features)[None]
+            k7 = k2.transpose(1, 0, 2, 3).reshape(4, 14 * C, self.features)
+            if self.emit_s2d:
+                # pack output col pairs into channels: a (1,3) conv on the
+                # W-s2d view of x7 (a free NHWC reshape after padding its
+                # width even) emits stage-1's s2d layout natively — the
+                # stem -> stage-1 boundary relayout disappears and XLA's
+                # per-tap conv runs 3 passes at 2x lane fill over half the
+                # rows instead of 4 (see _stem_s2d_kernel).
+                Wx = x7.shape[2]
+                if Wx % 2:
+                    x7 = jnp.pad(x7, ((0, 0), (0, 0), (0, 1), (0, 0)))
+                x7s = x7.reshape(B, Ho, (Wx + 1) // 2, 2 * x7.shape[-1])
+                y2 = jax.lax.conv_general_dilated(
+                    x7s, _stem_s2d_kernel(k7), (1, 1), "VALID",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                return y2 + jnp.concatenate([bias, bias]).astype(dt)
             y = jax.lax.conv_general_dilated(
-                x7, k7, (1, 1), "VALID",
+                x7, k7[None], (1, 1), "VALID",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
             return y + bias.astype(dt)
 
@@ -330,10 +379,74 @@ class StemConv(nn.Module):
     """Stem conv with the torch-compatible param path (``.../Conv_0/...``)."""
     features: int
     dtype: Any = None
+    emit_s2d: bool = False
 
     @nn.compact
     def __call__(self, x):
-        return _StemInner(self.features, self.dtype, name="Conv_0")(x)
+        return _StemInner(self.features, self.dtype, self.emit_s2d,
+                          name="Conv_0")(x)
+
+
+class _Conv3S2dDownRaw(nn.Module):
+    """3x3 stride-2 conv CONSUMING the W-s2d layout (pure XLA):
+    (B, H, P, 2C) view of (B, H, 2P, C) -> (B, H/2, P, O) in the plain
+    layout. Same MACs as the plain conv (the packed (3, 2, 2C, O) kernel is
+    1/4 structural zeros but each useful tap appears once); lets stage 2
+    read stage 1's s2d tensor with no un-s2d relayout."""
+    features: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x2):
+        C = x2.shape[-1] // 2
+        kernel = self.param("kernel", kaiming_out, (3, 3, C, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        dt = self.dtype or x2.dtype
+        w = kernel.astype(dt)
+        # output (ho, p) = orig (2ho, 2p): taps at orig cols 2p-1, 2p, 2p+1
+        # = s2d (p-1, phase 1), (p, phase 0), (p, phase 1)
+        zero = jnp.zeros_like(w[:, 0])
+        k0 = jnp.concatenate([zero, w[:, 0]], axis=1)   # s2d col p-1
+        k1 = jnp.concatenate([w[:, 1], w[:, 2]], axis=1)  # s2d col p
+        k2 = jnp.stack([k0, k1], axis=1)                # (3, 2, 2C, O)
+        y = jax.lax.conv_general_dilated(
+            x2.astype(dt), k2, (2, 1), ((1, 1), (1, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + bias.astype(dt)
+
+
+class _Conv1S2dDownRaw(nn.Module):
+    """1x1 stride-2 conv consuming W-s2d: orig col 2p is phase 0 of s2d col
+    p, so the packed (1, 1, 2C, O) kernel zeros the phase-1 rows and the
+    W stride vanishes."""
+    features: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x2):
+        C = x2.shape[-1] // 2
+        kernel = self.param("kernel", kaiming_out, (1, 1, C, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        dt = self.dtype or x2.dtype
+        w = kernel.astype(dt)
+        k2 = jnp.concatenate([w, jnp.zeros_like(w)], axis=2)  # (1, 1, 2C, O)
+        y = jax.lax.conv_general_dilated(
+            x2.astype(dt), k2, (2, 1), ((0, 0), (0, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + bias.astype(dt)
+
+
+class _S2dDownConv(nn.Module):
+    """``_Conv3S2dDownRaw``/``_Conv1S2dDownRaw`` with the ``Conv``-compatible
+    param path (``<name>/Conv_0/{kernel,bias}``)."""
+    features: int
+    kernel: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x2):
+        cls = _Conv3S2dDownRaw if self.kernel == 3 else _Conv1S2dDownRaw
+        return cls(self.features, self.dtype, name="Conv_0")(x2)
 
 
 class ResidualBlock(nn.Module):
@@ -348,15 +461,47 @@ class ResidualBlock(nn.Module):
     stays (B, H, W, C): the entry/exit reshapes between adjacent s2d blocks
     cancel in XLA's algebraic simplifier, so the stage pays one real
     relayout at its boundary, not one per conv. Param tree unchanged.
+
+    ``s2d_io=True`` goes further: the block ACCEPTS and RETURNS the
+    (B, H, W/2, 2C) s2d view with no reshape at all — for the fully-s2d
+    stage-1 pipeline where the stem emits s2d (``StemConv.emit_s2d``) and
+    the stage-2 downsample consumes it (``s2d_in``), so the boundary
+    relayout never exists.
+
+    ``s2d_in=True`` (stride-2 stage entry, e.g. layer2_0): conv1 and the
+    1x1 downsample shortcut consume the s2d input via packed kernels
+    (``_S2dDownConv``) and emit the PLAIN layout; the rest of the block is
+    the standard path.
     """
     planes: int
     stride: int = 1
     dtype: Any = None
     fuse_conv3: bool = False
     s2d: bool = False
+    s2d_io: bool = False
+    s2d_in: bool = False
 
     @nn.compact
     def __call__(self, x):
+        if self.s2d_io:
+            assert self.stride == 1 and 2 * self.planes == x.shape[-1]
+            y2 = _S2dConv(self.planes, dtype=self.dtype, name="conv1")(x)
+            y2 = nn.relu(instance_norm_s2d(y2))
+            y2 = _S2dConv(self.planes, dtype=self.dtype, name="conv2")(y2)
+            y2 = nn.relu(instance_norm_s2d(y2))
+            return nn.relu(x + y2)
+        if self.s2d_in:
+            assert self.stride == 2
+            y = _S2dDownConv(self.planes, 3, dtype=self.dtype,
+                             name="conv1")(x)
+            y = nn.relu(instance_norm(y))
+            y = Conv(self.planes, 3, 1, 1, dtype=self.dtype,
+                     fuse=self.fuse_conv3, name="conv2")(y)
+            y = nn.relu(instance_norm(y))
+            sc = _S2dDownConv(self.planes, 1, dtype=self.dtype,
+                              name="downsample")(x)
+            return nn.relu(instance_norm(sc) + y)
+
         use_s2d = (self.s2d and not self.fuse_conv3 and self.stride == 1
                    and x.shape[-1] == self.planes and self.planes == 64
                    and x.shape[-2] % 2 == 0)
@@ -390,6 +535,17 @@ class BasicEncoder(nn.Module):
     working set drops from every intermediate activation at 1/2-1/16 res to
     one tensor per stage — the piece that made the production-config step
     (4hv, N=768, 384x512) exceed single-chip HBM without grad accumulation.
+
+    ``full_s2d=True`` (default; bf16 with W % 4 == 0 only): stage 1 runs
+    END-TO-END in the W-s2d layout with no boundary relayout at all — the
+    stem emits s2d natively (``StemConv.emit_s2d``), both layer-1 blocks are
+    ``s2d_io``, the fusion resize contracts H before un-s2d'ing
+    (``resize_bilinear_align_corners_s2d``), and layer2_0's strided convs
+    consume s2d directly (``s2d_in``). Attacks the ~2 ms/step of stage-1
+    entry/exit layout copies the r5 xplane trace localized (the s2d
+    (H, W/2, 2C) <-> plain (H, W, C) reshape is a real cross-lane-tile data
+    movement on TPU). Math is exact (same MACs, packed kernels with
+    structural zeros); param tree unchanged in every mode.
     """
     output_dim: int = 128
     stride: int = 8
@@ -397,6 +553,7 @@ class BasicEncoder(nn.Module):
     dtype: Any = None
     remat: bool = False
     fuse_conv3: bool = False
+    full_s2d: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -409,17 +566,30 @@ class BasicEncoder(nn.Module):
         stem_cls = nn.remat(StemConv) if self.remat else StemConv
         block_cls = nn.remat(ResidualBlock) if self.remat else ResidualBlock
 
-        x = stem_cls(self.stage_dims[0], dtype=self.dtype, name="conv1")(x)
-        x = nn.relu(instance_norm(x))
-
         # stage-1 blocks run in the W-s2d layout in bf16 (full MXU lane
-        # occupancy for the 64-channel convs; see ResidualBlock.s2d)
-        s2d1 = self.dtype == jnp.bfloat16
+        # occupancy for the 64-channel convs; see ResidualBlock.s2d);
+        # with full_s2d the whole stage-1 pipeline stays in s2d.
+        s2d1 = self.dtype == jnp.bfloat16 and not self.fuse_conv3
+        full = (self.full_s2d and s2d1 and self.stage_dims[0] == 64
+                and len(self.stage_dims) > 1 and H % 2 == 0 and W % 4 == 0)
+
+        x = stem_cls(self.stage_dims[0], dtype=self.dtype, emit_s2d=full,
+                     name="conv1")(x)
+        x = nn.relu(instance_norm_s2d(x) if full else instance_norm(x))
+
         feats = []
         for i, dim in enumerate(self.stage_dims):
             stride = 1 if i == 0 else 2
+            if full and i == 0:
+                x = block_cls(dim, 1, dtype=self.dtype, s2d_io=True,
+                              name="layer1_0")(x)
+                x = block_cls(dim, 1, dtype=self.dtype, s2d_io=True,
+                              name="layer1_1")(x)
+                feats.append(resize_bilinear_align_corners_s2d(x, out_hw))
+                continue
             x = block_cls(dim, stride, dtype=self.dtype,
                           fuse_conv3=self.fuse_conv3, s2d=s2d1 and i == 0,
+                          s2d_in=full and i == 1,
                           name=f"layer{i + 1}_0")(x)
             x = block_cls(dim, 1, dtype=self.dtype,
                           fuse_conv3=self.fuse_conv3, s2d=s2d1 and i == 0,

@@ -73,11 +73,16 @@ class Pips(nn.Module):
                                # (kernels/conv_pallas.py): dense-K MXU
                                # contraction where XLA's per-tap strategy
                                # runs half-empty. TPU-only.
+    full_s2d: bool = True      # bf16 + W%4==0: run encoder stage 1 fully in
+                               # the W-s2d layout (stem emits it, layer2_0
+                               # consumes it) — no stage-boundary relayout.
+                               # Exact math; see encoder.BasicEncoder.
 
     def setup(self):
         self.fnet = BasicEncoder(output_dim=self.latent_dim, stride=self.stride,
                                  dtype=self.dtype, remat=self.remat_encoder,
-                                 fuse_conv3=self.fuse_conv3)
+                                 fuse_conv3=self.fuse_conv3,
+                                 full_s2d=self.full_s2d)
         delta_cls = nn.remat(DeltaBlock) if self.remat_mixer else DeltaBlock
         self.delta_block = delta_cls(
             latent_dim=self.latent_dim,

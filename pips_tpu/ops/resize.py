@@ -57,6 +57,38 @@ def resize_bilinear_align_corners(img: jnp.ndarray, out_hw: tuple[int, int]) -> 
     return out
 
 
+def resize_bilinear_align_corners_s2d(x2: jnp.ndarray,
+                                      out_hw: tuple[int, int]) -> jnp.ndarray:
+    """``resize_bilinear_align_corners`` reading the W-s2d layout directly.
+
+    x2: (..., H, W/2, 2C) — the W-only space-to-depth view of an
+    (..., H, W, C) tensor (column pair 2p+a lives at channel a*C+c).
+    Returns (..., H_out, W_out, C), numerically identical to resizing the
+    un-s2d view (same H-then-W contraction order).
+
+    Why: un-s2d'ing is a real relayout in the TPU's tiled layout (the
+    (W/2, 2C) -> (W, C) reshape moves data between lane tiles). Contracting
+    H *first*, while still packed, shrinks the tensor by H/H_out before the
+    un-s2d reshape — at the encoder's stage-1 fusion resize (192 -> 48) the
+    relayout touches 4x fewer bytes, and the downstream W contraction is a
+    plain matmul either way.
+    """
+    H_out, W_out = out_hw
+    H, P = x2.shape[-3], x2.shape[-2]
+    C = x2.shape[-1] // 2
+    W = 2 * P
+    prec = (jax.lax.Precision.HIGHEST if x2.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    if H != H_out:
+        Ay = jnp.asarray(_interp_matrix(H, H_out), x2.dtype)
+        x2 = jnp.einsum("oh,...hpc->...opc", Ay, x2, precision=prec)
+    t = x2.reshape(*x2.shape[:-2], W, C)
+    if W == W_out:
+        return t
+    Ax = jnp.asarray(_interp_matrix(W, W_out), x2.dtype)
+    return jnp.einsum("pw,...hwc->...hpc", Ax, t, precision=prec)
+
+
 def avg_pool2x2(img: jnp.ndarray) -> jnp.ndarray:
     """2x2 stride-2 average pool, VALID padding (floor output size).
 

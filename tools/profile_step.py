@@ -1,6 +1,6 @@
 """End-to-end bf16 train step timing at the bench config (one compile:
 fori_loop with a TRACED trip count serves every chain length).
-Usage ON TPU: PYTHONPATH=/root/.axon_site:. python tools/profile_step.py <fuse_chanff 0/1> <fuse_conv3 0/1>"""
+Usage ON TPU: PYTHONPATH=/root/.axon_site:. python tools/profile_step.py <fuse_chanff 0/1> <fuse_conv3 0/1> [full_s2d 0/1, default 1]"""
 import functools, sys, time
 sys.path.insert(0, ".")
 import numpy as np
@@ -11,9 +11,11 @@ from pips_tpu.train.optim import make_optimizer
 from pips_tpu.train.step import TrainState, make_train_step
 
 fc = sys.argv[1] == "1"; fv = sys.argv[2] == "1"
+fs = len(sys.argv) < 4 or sys.argv[3] == "1"
 B, S, N, I = 1, 8, 128, 6
 H, W = 384, 512
-model = Pips(S=S, stride=8, dtype=jnp.bfloat16, fuse_chanff=fc, fuse_conv3=fv)
+model = Pips(S=S, stride=8, dtype=jnp.bfloat16, fuse_chanff=fc, fuse_conv3=fv,
+             full_s2d=fs)
 params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 4, 2)), jnp.zeros((1, S, 64, 64, 3)), iters=1)
 tx = make_optimizer(5e-4, 100000)
 state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
@@ -46,4 +48,4 @@ for t in range(3):
     d2 = time.perf_counter()-t2
     best = min(best, (dt-d2)/8)
     print("trial", t, (dt-d2)/8, flush=True)
-print(f"RESULT fuse_chanff={fc} fuse_conv3={fv}: {best*1000:.2f} ms/step")
+print(f"RESULT fuse_chanff={fc} fuse_conv3={fv} full_s2d={fs}: {best*1000:.2f} ms/step")
